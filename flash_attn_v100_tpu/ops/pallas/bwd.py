@@ -1,0 +1,400 @@
+"""Dense flash-attention backward — two Pallas TPU kernels.
+
+TPU re-design of the reference's single two-phase backward kernel
+(reference: kernel/fused_mha_backward.cu:26-489).  The reference multiplexes
+dQ and dKV phases over blockIdx.y; on TPU each phase is its own pallas_call
+with its own grid/tiles (they have different iteration geometry):
+
+  * dQ kernel  (phase at reference :58-253):   per (b, h_q, q-tile), loop KV:
+      S = QK^T -> P = exp(S - lse) -> dOV = dO.V^T ->
+      dS = (P_drop*dOV - P*delta) * scale [* softcap'] -> dQ += dS.K
+  * dKV kernel (phase at reference :257-488):  per (b, h_k, kv-tile), loop
+      over (q-head-group, q-tile) — the GQA in-kernel group loop (reference
+      :351) becomes the innermost grid axis so dK/dV accumulate in fp32 VMEM
+      scratch across the whole group, one store (reference :483).
+
+`delta = rowsum(O * dO)` is precomputed as a fused XLA op (the reference
+computes it in-kernel, :160-162; on TPU a standalone elementwise+reduce is
+bandwidth-optimal and XLA fuses it with the dout cast).
+
+Compute layout (B, H, M, D); per-row lse/delta are fed twice with different
+lane layouts: (B, H, Mp, 1) for the dQ kernel (row vectors) and (B, H, 1, Mp)
+for the dKV kernel (column vectors) — avoids in-kernel sublane<->lane
+relayouts.
+
+Recompute strategy: S is recomputed from Q,K; only (out, lse) are saved
+residuals — same as the reference (utils/docs/attention.md:299).
+Dropout is replayed position-keyed via Philox, never stored
+(reference: include/softmax.h:293-304).
+Softcap gradient: dS *= (1 - (S_capped/cap)^2) (reference: softmax.h:311-314).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_v100_tpu.config import NEG_INF, EXP_CLAMP, use_interpret
+from flash_attn_v100_tpu.ops import philox
+from flash_attn_v100_tpu.ops.pallas.block_sizes import BlockSizes, cdiv, round_up
+from flash_attn_v100_tpu.ops.pallas import masks as masklib
+
+
+def _recompute_p(s, valid, lse_vals):
+    """P = exp(S - lse) with the reference's guards: zero when masked or when
+    S - lse < -80 (reference: include/softmax.h:284-287)."""
+    sh = s - lse_vals
+    cond = valid & (sh >= EXP_CLAMP)
+    return jnp.where(cond, jnp.exp(jnp.minimum(sh, 0.0)), 0.0)
+
+
+def _grad_scores(p, p_drop, dov, delta_vals, s, softmax_scale, params, valid):
+    """dS = (P_drop*dOV - P*delta) * scale, then the softcap chain factor
+    (reference: include/softmax.h:309-314)."""
+    ds = (p_drop * dov - p * delta_vals) * softmax_scale
+    if params.softcap > 0.0:
+        s_norm = s * (1.0 / params.softcap)
+        ds = ds * (1.0 - s_norm * s_norm)
+    return jnp.where(valid, ds, 0.0)
+
+
+# ======================================================================================
+# dQ kernel: q-centric, iterates KV tiles
+# ======================================================================================
+
+def _dq_kernel(
+    *refs,
+    params: masklib.MaskParams,
+    softmax_scale: float,
+    dropout_p: float,
+    seqlen_q: int,
+    seqlen_k: int,
+    num_heads: int,
+    block_q: int,
+    block_k: int,
+    num_kv_blocks: int,
+):
+    has_alibi = params.has_alibi
+    has_dropout = dropout_p > 0.0
+    idx = 0
+    slopes_ref = seed_ref = None
+    if has_alibi:
+        slopes_ref = refs[idx]; idx += 1
+    if has_dropout:
+        seed_ref = refs[idx]; idx += 1
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc = refs[idx:]
+
+    b, h, qi, ki = (pl.program_id(i) for i in range(4))
+    q_start = qi * block_q
+    k_start = ki * block_k
+    offset = seqlen_k - seqlen_q
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    run = masklib.block_overlaps(q_start, block_q, k_start, block_k, offset, params,
+                                 seqlen_k=seqlen_k)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        rows, cols = masklib.position_ids(block_q, block_k, q_start, k_start)
+        alibi_slope = slopes_ref[b, h] if has_alibi else None
+        s, valid = masklib.apply_score_pipeline(
+            s, rows, cols, softmax_scale=softmax_scale,
+            seqlen_q=seqlen_q, seqlen_k=seqlen_k, offset=offset,
+            params=params, alibi_slope=alibi_slope,
+        )
+
+        lse_rows = lse_ref[0, 0]      # (block_q, 1)
+        delta_rows = delta_ref[0, 0]  # (block_q, 1)
+        p = _recompute_p(s, valid, lse_rows)
+
+        dov = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+        if has_dropout:
+            bh = b * num_heads + h
+            keep = philox.dropout_keep_mask(rows, cols, bh,
+                                            seed_ref[0], seed_ref[1], dropout_p)
+            p_drop = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
+        else:
+            p_drop = p
+
+        ds = _grad_scores(p, p_drop, dov, delta_rows, s, softmax_scale, params, valid)
+        dq_acc[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+# ======================================================================================
+# dKV kernel: kv-centric, iterates (q-head-in-group, q-tile) on the inner axis
+# ======================================================================================
+
+def _dkv_kernel(
+    *refs,
+    params: masklib.MaskParams,
+    softmax_scale: float,
+    dropout_p: float,
+    seqlen_q: int,
+    seqlen_k: int,
+    num_heads: int,   # H_Q
+    group: int,       # H_Q // H_K
+    block_q: int,
+    block_k: int,
+    num_q_blocks: int,
+    num_inner: int,   # group * num_q_blocks
+):
+    has_alibi = params.has_alibi
+    has_dropout = dropout_p > 0.0
+    idx = 0
+    slopes_ref = seed_ref = None
+    if has_alibi:
+        slopes_ref = refs[idx]; idx += 1
+    if has_dropout:
+        seed_ref = refs[idx]; idx += 1
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs[idx:]
+
+    b, hk, ki, t = (pl.program_id(i) for i in range(4))
+    g = t // num_q_blocks
+    qi = t % num_q_blocks
+    h = hk * group + g
+    q_start = qi * block_q
+    k_start = ki * block_k
+    offset = seqlen_k - seqlen_q
+
+    @pl.when(t == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    run = masklib.block_overlaps(q_start, block_q, k_start, block_k, offset, params,
+                                 seqlen_k=seqlen_k)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+
+        # S^T tile: rows = kv positions, cols = q positions
+        st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (bk, bq)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 0) + k_start
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 1) + q_start
+        alibi_slope = slopes_ref[b, h] if has_alibi else None
+        st, valid = masklib.apply_score_pipeline(
+            st, qpos, kpos, softmax_scale=softmax_scale,
+            seqlen_q=seqlen_q, seqlen_k=seqlen_k, offset=offset,
+            params=params, alibi_slope=alibi_slope,
+        )
+
+        lse_cols = lse_ref[0, 0]      # (1, block_q)
+        delta_cols = delta_ref[0, 0]  # (1, block_q)
+        pt = _recompute_p(st, valid, lse_cols)
+
+        dovt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)  # (bk, bq)
+
+        if has_dropout:
+            bh = b * num_heads + h
+            keep = philox.dropout_keep_mask(qpos, kpos, bh,
+                                            seed_ref[0], seed_ref[1], dropout_p)
+            pt_drop = jnp.where(keep, pt * (1.0 / (1.0 - dropout_p)), 0.0)
+        else:
+            pt_drop = pt
+
+        dv_acc[...] += jax.lax.dot_general(
+            pt_drop.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dst = _grad_scores(pt, pt_drop, dovt, delta_cols, st, softmax_scale,
+                           params, valid)
+        dk_acc[...] += jax.lax.dot_general(
+            dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(t == num_inner - 1)
+    def _store():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+# ======================================================================================
+# Host wrapper
+# ======================================================================================
+
+def _pad_seq(x, target, axis):
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def flash_attn_dense_bwd(
+    q: jnp.ndarray,   # (B, M, Hq, D)
+    k: jnp.ndarray,   # (B, N, Hk, D)
+    v: jnp.ndarray,
+    out: jnp.ndarray,  # (B, M, Hq, D)
+    dout: jnp.ndarray,
+    lse: jnp.ndarray,  # (B, Hq, M) fp32
+    softmax_scale: float,
+    params: masklib.MaskParams,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (dq, dk, dv) in the input layouts/dtypes."""
+    B, M, Hq, D = q.shape
+    N, Hk = k.shape[1], k.shape[2]
+    group = Hq // Hk
+    if interpret is None:
+        interpret = use_interpret()
+    bs = block_sizes or BlockSizes.for_shape(M, N, D)
+
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    dot_ = jnp.swapaxes(dout, 1, 2)
+
+    # delta = rowsum(O * dO): fused XLA reduce (reference computes it
+    # in-kernel at kernel/fused_mha_backward.cu:160-162).
+    delta = jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32), axis=-1)
+    delta = jnp.swapaxes(delta, 1, 2)  # (B, Hq, M)
+
+    # lse may contain -inf for fully-masked rows; keep arithmetic finite.
+    lse_safe = jnp.maximum(lse, NEG_INF)
+
+    feat_args = (params, alibi_slopes, dropout_p, dropout_seed)
+
+    def feature_specs():
+        in_specs, inputs = [], []
+        if params.has_alibi:
+            assert alibi_slopes is not None and alibi_slopes.shape == (B, Hq)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            inputs.append(alibi_slopes.astype(jnp.float32))
+        if dropout_p > 0.0:
+            assert dropout_seed is not None
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            inputs.append(dropout_seed.astype(jnp.uint32))
+        return in_specs, inputs
+
+    # ---- dQ pass ----
+    bq, bk = bs.block_q_dq, bs.block_k_dq
+    Mp, Np = round_up(M, bq), round_up(N, bk)
+    qp = _pad_seq(qt, Mp, 2)
+    dop = _pad_seq(dot_, Mp, 2)
+    kp = _pad_seq(kt, Np, 2)
+    vp = _pad_seq(vt, Np, 2)
+    lsep = _pad_seq(lse_safe, Mp, 2)[..., None]    # (B, Hq, Mp, 1)
+    deltap = _pad_seq(delta, Mp, 2)[..., None]
+
+    num_q_blocks, num_kv_blocks = Mp // bq, Np // bk
+    feat_specs, feat_inputs = feature_specs()
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, params=params, softmax_scale=softmax_scale,
+            dropout_p=dropout_p, seqlen_q=M, seqlen_k=N, num_heads=Hq,
+            block_q=bq, block_k=bk, num_kv_blocks=num_kv_blocks,
+        ),
+        grid=(B, Hq, num_q_blocks, num_kv_blocks),
+        in_specs=feat_specs + [
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h // group, ki, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h // group, ki, 0)),
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Mp, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*feat_inputs, qp, kp, vp, dop, lsep, deltap)
+    dq = jnp.swapaxes(dq[:, :, :M], 1, 2)
+
+    # ---- dKV pass ----
+    bq, bk = bs.block_q_dkv, bs.block_k_dkv
+    Mp, Np = round_up(M, bq), round_up(N, bk)
+    qp = _pad_seq(qt, Mp, 2)
+    dop = _pad_seq(dot_, Mp, 2)
+    kp = _pad_seq(kt, Np, 2)
+    vp = _pad_seq(vt, Np, 2)
+    lsep = _pad_seq(lse_safe, Mp, 2)[:, :, None, :]    # (B, Hq, 1, Mp)
+    deltap = _pad_seq(delta, Mp, 2)[:, :, None, :]
+
+    num_q_blocks, num_kv_blocks = Mp // bq, Np // bk
+    num_inner = group * num_q_blocks
+
+    def qmap(b, hk, ki, t):
+        return (b, hk * group + t // num_q_blocks, t % num_q_blocks, 0)
+
+    def lmap(b, hk, ki, t):
+        return (b, hk * group + t // num_q_blocks, 0, t % num_q_blocks)
+
+    feat_specs, feat_inputs = feature_specs()
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, params=params, softmax_scale=softmax_scale,
+            dropout_p=dropout_p, seqlen_q=M, seqlen_k=N, num_heads=Hq,
+            group=group, block_q=bq, block_k=bk,
+            num_q_blocks=num_q_blocks, num_inner=num_inner,
+        ),
+        grid=(B, Hk, num_kv_blocks, num_inner),
+        in_specs=feat_specs + [
+            pl.BlockSpec((1, 1, bq, D), qmap),
+            pl.BlockSpec((1, 1, bk, D), lambda b, hk, ki, t: (b, hk, ki, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, hk, ki, t: (b, hk, ki, 0)),
+            pl.BlockSpec((1, 1, bq, D), qmap),
+            pl.BlockSpec((1, 1, 1, bq), lmap),
+            pl.BlockSpec((1, 1, 1, bq), lmap),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bk, D), lambda b, hk, ki, t: (b, hk, ki, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, hk, ki, t: (b, hk, ki, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hk, Np, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hk, Np, D), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*feat_inputs, qp, kp, vp, dop, lsep, deltap)
+    dk = jnp.swapaxes(dk[:, :, :N], 1, 2)
+    dv = jnp.swapaxes(dv[:, :, :N], 1, 2)
+
+    return dq, dk, dv

@@ -1,0 +1,232 @@
+"""Dense flash-attention forward — Pallas TPU kernel.
+
+TPU-native re-design of the reference's fused forward kernel
+(reference: kernel/fused_mha_forward.cu:25-224): one fused pass per
+(batch, q-head, q-tile) computing  S = QK^T -> bias/mask -> online softmax ->
+O += P.V  over KV tiles, returning O and LSE = m + log(l)
+(reference: kernel/fused_mha_forward.cu:220-223).
+
+Differences by design (TPU-first, not a translation):
+  * Mosaic handles what the reference's WMMA/smem-swizzle machinery does by
+    hand: MXU tiling, VMEM residency, pipelined HBM->VMEM DMA.
+  * The KV loop is a grid axis with "arbitrary" semantics; causal/window
+    block-range trimming (reference: include/template.h:98-111) becomes a
+    `pl.when` skip predicate.
+  * Compute layout is (B, H, M, D); the public wrapper permutes from
+    (B, M, H, D) exactly like the reference
+    (flash_attn_v100/flash_attn_interface.py:36-53) — Pallas TPU requires the
+    last two block dims to be tile-aligned, which rules out blocking the
+    sequence axis of a (B, M, H, D) array with a singleton head dim.
+  * GQA head mapping (kv_head = q_head // group, reference:
+    include/template.h:58) lives in the K/V index_map.
+  * fp32 running (m, l, acc) in VMEM scratch; dropout is applied to the
+    unnormalized P tile, while l accumulates pre-dropout sums — the same
+    order as the reference (include/softmax.h:96-124: thread_sum before RNG).
+  * LSE is written as (B, H, M, 1) fp32 (lane-1 layout) and squeezed by the
+    wrapper — dense LSE layout parity: (B, H, M)
+    (reference: kernel/fused_mha_forward.cu:389-406).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_v100_tpu.config import NEG_INF, EXP_CLAMP, use_interpret
+from flash_attn_v100_tpu.ops import philox
+from flash_attn_v100_tpu.ops.pallas.block_sizes import BlockSizes, MIN_LANES, cdiv, round_up
+from flash_attn_v100_tpu.ops.pallas import masks as masklib
+
+
+def _fwd_kernel(
+    *refs,
+    params: masklib.MaskParams,
+    softmax_scale: float,
+    dropout_p: float,
+    seqlen_q: int,
+    seqlen_k: int,
+    num_heads: int,
+    block_q: int,
+    block_k: int,
+    num_kv_blocks: int,
+):
+    has_alibi = params.has_alibi
+    has_dropout = dropout_p > 0.0
+    idx = 0
+    slopes_ref = None
+    seed_ref = None
+    if has_alibi:
+        slopes_ref = refs[idx]
+        idx += 1
+    if has_dropout:
+        seed_ref = refs[idx]
+        idx += 1
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[idx:]
+
+    b, h, qi, ki = (pl.program_id(i) for i in range(4))
+    q_start = qi * block_q
+    k_start = ki * block_k
+    offset = seqlen_k - seqlen_q
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    run = masklib.block_overlaps(q_start, block_q, k_start, block_k, offset, params,
+                                 seqlen_k=seqlen_k)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, block_k)
+
+        rows, cols = masklib.position_ids(block_q, block_k, q_start, k_start)
+        alibi_slope = slopes_ref[b, h] if has_alibi else None
+        s, valid = masklib.apply_score_pipeline(
+            s, rows, cols,
+            softmax_scale=softmax_scale, seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+            offset=offset, params=params, alibi_slope=alibi_slope,
+        )
+
+        m_prev = m_scr[...]  # (block_q, MIN_LANES) replicated
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_cur)  # broadcast -> (block_q, MIN_LANES)
+        alpha = jnp.exp(m_prev - m_next)
+
+        p = jnp.exp(jnp.maximum(s - m_next[:, :1], EXP_CLAMP))
+        p = jnp.where(valid, p, 0.0)
+
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        if has_dropout:
+            bh = b * num_heads + h
+            keep = philox.dropout_keep_mask(
+                rows, cols, bh, seed_ref[0], seed_ref[1], dropout_p
+            )
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
+
+        v = v_ref[0, 0]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        m_vec = m_scr[:, :1]
+        l_vec = l_scr[:, :1]
+        lse = jnp.where(l_vec == 0.0, -jnp.inf, m_vec + jnp.log(l_vec))
+        lse_ref[0, 0] = lse.astype(jnp.float32)
+
+
+def flash_attn_dense_fwd(
+    q: jnp.ndarray,  # (B, M, Hq, D)
+    k: jnp.ndarray,  # (B, N, Hk, D)
+    v: jnp.ndarray,
+    softmax_scale: float,
+    params: masklib.MaskParams,
+    alibi_slopes: Optional[jnp.ndarray] = None,  # (B, Hq) fp32
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,  # (2,) uint32
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (out (B, M, Hq, D), lse (B, Hq, M) fp32)."""
+    B, M, Hq, D = q.shape
+    N, Hk = k.shape[1], k.shape[2]
+    assert Hq % Hk == 0
+    group = Hq // Hk
+    if interpret is None:
+        interpret = use_interpret()
+
+    bs = block_sizes or BlockSizes.for_shape(M, N, D)
+    bq, bk = bs.block_q, bs.block_k
+
+    # compute layout (B, H, M, D), padded to tile multiples (in-kernel masks
+    # make the zero padding inert)
+    Mp, Np = round_up(M, bq), round_up(N, bk)
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    if Mp != M:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Mp - M), (0, 0)))
+    if Np != N:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, Np - N), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, Np - N), (0, 0)))
+
+    num_q_blocks = Mp // bq
+    num_kv_blocks = Np // bk
+    grid = (B, Hq, num_q_blocks, num_kv_blocks)
+
+    in_specs = []
+    inputs = []
+    if params.has_alibi:
+        assert alibi_slopes is not None and alibi_slopes.shape == (B, Hq)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(alibi_slopes.astype(jnp.float32))
+    if dropout_p > 0.0:
+        assert dropout_seed is not None
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(dropout_seed.astype(jnp.uint32))
+
+    in_specs += [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h // group, ki, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h // group, ki, 0)),
+    ]
+    inputs += [qt, kt, vt]
+
+    out_shape = (
+        jax.ShapeDtypeStruct((B, Hq, Mp, D), q.dtype),
+        jax.ShapeDtypeStruct((B, Hq, Mp, 1), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+    )
+    scratch_shapes = [
+        pltpu.VMEM((bq, MIN_LANES), jnp.float32),
+        pltpu.VMEM((bq, MIN_LANES), jnp.float32),
+        pltpu.VMEM((bq, D), jnp.float32),
+    ]
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        params=params, softmax_scale=softmax_scale, dropout_p=dropout_p,
+        seqlen_q=M, seqlen_k=N, num_heads=Hq,
+        block_q=bq, block_k=bk, num_kv_blocks=num_kv_blocks,
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    out = jnp.swapaxes(out[:, :, :M], 1, 2)
+    lse = lse[:, :, :M, 0]
+    return out, lse

@@ -1,0 +1,121 @@
+"""Shared score pipeline: scale -> ALiBi -> softcap -> mask, plus tile-level
+block-range trimming.
+
+This is the TPU re-design of two reference components:
+  * the fused per-element mask/bias application inside the scores GEMM
+    (reference: include/mat_mul.h:82-157) — here a pure-jnp function applied to
+    the (block_q, block_k) scores tile inside every Pallas kernel, and
+  * `BlockInfo`'s causal/window block-range trim (reference:
+    include/template.h:98-111) — here `block_overlaps`, evaluated per grid cell
+    to skip fully-masked tiles (`pl.when`), the Pallas analog of trimming the
+    KV loop range.
+
+Conventions (identical to the reference):
+  offset = seqlen_k - seqlen_q  (bottom-right aligned causal)
+  causal  masks  col - offset >  row
+  window  masks  col - offset <  row - window_left   (window_left  >= 0)
+                 col - offset >  row + window_right  (window_right >= 0)
+  bias order: s*scale, then -slope*|row-(col-offset)|, then softcap*tanh(./cap)
+  masked -> NEG_INF (-1e30, not -inf: reference include/kernel.h:20)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_v100_tpu.config import NEG_INF
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskParams:
+    """Static (compile-time) feature flags — the analog of the reference's
+    bool-pack template dispatch (reference: include/template.h:248-291)."""
+
+    causal: bool = False
+    window_left: int = -1
+    window_right: int = -1
+    softcap: float = 0.0
+    has_alibi: bool = False
+
+    @property
+    def needs_position_mask(self) -> bool:
+        return self.causal or self.window_left >= 0 or self.window_right >= 0
+
+    def effective_window_right(self) -> int:
+        """causal == window_right 0 for range trimming purposes."""
+        if self.causal:
+            return 0 if self.window_right < 0 else min(0, self.window_right)
+        return self.window_right
+
+
+def position_ids(block_q: int, block_k: int, q_start, k_start):
+    """Absolute (row, col) position id tiles for a (block_q, block_k) score
+    tile whose top-left element is (q_start, k_start)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_start
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
+    return rows, cols
+
+
+def apply_score_pipeline(
+    s: jnp.ndarray,  # (block_q, block_k) raw QK^T, fp32
+    rows: jnp.ndarray,  # absolute q positions, int32, same shape
+    cols: jnp.ndarray,  # absolute k positions, int32, same shape
+    *,
+    softmax_scale: float,
+    seqlen_q,
+    seqlen_k,
+    offset,  # seqlen_k - seqlen_q (may be traced for varlen)
+    params: MaskParams,
+    alibi_slope=None,  # traced scalar when params.has_alibi
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (biased scores fp32 with masked -> NEG_INF, valid bool mask)."""
+    s = s * softmax_scale
+
+    if params.has_alibi:
+        dist = jnp.abs(rows - (cols - offset)).astype(jnp.float32)
+        s = s - alibi_slope * dist
+
+    if params.softcap > 0.0:
+        s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
+
+    valid = (cols < seqlen_k) & (rows < seqlen_q)
+    rel = cols - offset
+    if params.causal:
+        valid &= rel <= rows
+    if params.window_left >= 0:
+        valid &= rel >= rows - params.window_left
+    if params.window_right >= 0:
+        valid &= rel <= rows + params.window_right
+
+    s = jnp.where(valid, s, NEG_INF)
+    return s, valid
+
+
+def block_overlaps(
+    q_start, q_rows: int, k_start, k_cols: int, offset, params: MaskParams,
+    seqlen_k=None,
+):
+    """Whether a (q tile, kv tile) pair has any unmasked element — the
+    `block_min/block_max` trim of the reference (include/template.h:98-111)
+    recast as a per-tile predicate for `pl.when`.
+
+    q tile covers rows [q_start, q_start+q_rows), kv tile cols
+    [k_start, k_start+k_cols).  All args may be traced scalars.
+    """
+    run = True
+    wr = params.effective_window_right()
+    if wr >= 0:
+        # rightmost col any row in this q tile may see
+        run = jnp.logical_and(run, k_start <= q_start + q_rows - 1 + offset + wr)
+    if params.window_left >= 0:
+        # leftmost col any row in this q tile may see
+        run = jnp.logical_and(
+            run, k_start + k_cols - 1 >= q_start + offset - params.window_left
+        )
+    if seqlen_k is not None:
+        run = jnp.logical_and(run, k_start < seqlen_k)
+    return run
