@@ -95,6 +95,66 @@ def apply_score_pipeline(
     return s, valid
 
 
+def apply_score_pipeline_ragged(
+    s: jnp.ndarray,       # (R, C) raw scores tile, fp32
+    q_pos,                # (R, 1) int32 within-sequence q positions
+    k_pos,                # (1, C) int32 within-sequence k positions
+    q_seg,                # (R, 1) int32 sequence ids (-1 = padding)
+    k_seg,                # (1, C) int32 sequence ids (-1 = padding/unused)
+    offs,                 # (R, 1) int32 per-row seqlen_k - seqlen_q of the row's sequence
+    *,
+    softmax_scale: float,
+    params: MaskParams,
+    alibi_slope=None,     # scalar or (R, 1)/(1, C) per-token slopes
+):
+    """Ragged-batch version of the score pipeline: the varlen `BlockInfo` role
+    (reference: include/template.h:55-69, kernel/fused_mha_forward_varlen.cu)
+    recast as per-token (segment, position) vectors.  All ragged bookkeeping
+    is precomputed host-side into O(T) int32 vectors; the kernel applies pure
+    elementwise ops — no device-side cu_seqlens walking.
+
+    Same bias order/conventions as `apply_score_pipeline`; the bottom-right
+    causal offset varies per row (`offs`).
+    """
+    s = s * softmax_scale
+
+    rel = k_pos - offs  # (R, C) key position in the q-aligned frame
+
+    if params.has_alibi:
+        dist = jnp.abs(q_pos - rel).astype(jnp.float32)
+        s = s - alibi_slope * dist
+
+    if params.softcap > 0.0:
+        s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
+
+    valid = (q_seg == k_seg) & (q_seg >= 0)
+    if params.causal:
+        valid &= rel <= q_pos
+    if params.window_left >= 0:
+        valid &= rel >= q_pos - params.window_left
+    if params.window_right >= 0:
+        valid &= rel <= q_pos + params.window_right
+
+    s = jnp.where(valid, s, NEG_INF)
+    return s, valid
+
+
+def ragged_block_overlaps(q_seg_tile, k_seg_tile):
+    """Tile-skip predicate for packed batches: do any q rows and k cols of
+    this tile pair belong to a common sequence?  Sequences are contiguous in
+    the packed layout, so segment-range overlap is exact.  The varlen analog
+    of the dense block trim (reference varlen early-exit:
+    kernel/fused_mha_forward_varlen.cu:94-111)."""
+    big = jnp.int32(2 ** 30)
+    q_valid = q_seg_tile >= 0
+    k_valid = k_seg_tile >= 0
+    qmin = jnp.min(jnp.where(q_valid, q_seg_tile, big))
+    qmax = jnp.max(jnp.where(q_valid, q_seg_tile, -1))
+    kmin = jnp.min(jnp.where(k_valid, k_seg_tile, big))
+    kmax = jnp.max(jnp.where(k_valid, k_seg_tile, -1))
+    return (qmax >= kmin) & (qmin <= kmax) & (qmax >= 0) & (kmax >= 0)
+
+
 def block_overlaps(
     q_start, q_rows: int, k_start, k_cols: int, offset, params: MaskParams,
     seqlen_k=None,

@@ -1,0 +1,578 @@
+"""Varlen (packed, cu_seqlens) flash attention — Pallas TPU kernels.
+
+TPU re-design of the reference's varlen kernels
+(reference: kernel/fused_mha_forward_varlen.cu:25-275,
+kernel/fused_mha_backward_varlen.cu:26-540).  The reference resolves ragged
+offsets device-side per block via `BlockInfo` reads of cu_seqlens
+(include/template.h:55-69); here all ragged bookkeeping is precomputed
+host-side into O(T) per-token int32 vectors (segment id, within-sequence
+position, per-row causal offset) and the packed tokens are processed as one
+long sequence with segment masking — the TPU-idiomatic formulation (static
+shapes; block-diagonal work via tile-level segment-overlap skip).
+
+GQA backward: the reference varlen path expands dk/dv to [T_K, H_Q, D] and
+reduces on the host (kernel/fused_mha_backward_varlen.cu:764-804); we instead
+accumulate over the q-head group in-kernel like the dense path — strictly less
+HBM traffic.
+
+seqused_k (clamp effective key length) and leftpad_k (skip leading cache rows)
+fold into the precomputed k-token vectors
+(reference: kernel/fused_mha_forward_varlen.cu:452-478).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_v100_tpu.config import NEG_INF, EXP_CLAMP, use_interpret
+from flash_attn_v100_tpu.ops import philox
+from flash_attn_v100_tpu.ops.pallas.block_sizes import BlockSizes, MIN_LANES, round_up
+from flash_attn_v100_tpu.ops.pallas import masks as masklib
+from flash_attn_v100_tpu.ops.pallas.bwd import _recompute_p, _grad_scores
+
+
+# ======================================================================================
+# Host-side ragged info
+# ======================================================================================
+
+def build_ragged_info(
+    cu_seqlens_q, cu_seqlens_k, total_q: int, total_k: int,
+    padded_q: int, padded_k: int,
+    seqused_k=None, leftpad_k=None,
+):
+    """Per-token int32 vectors encoding the ragged structure.
+
+    Returns (q_seg, q_pos, q_offs, k_seg, k_pos), each padded to
+    padded_q/padded_k; seg == -1 marks padding / unused tokens.
+    This is the whole of the reference's device-side BlockInfo varlen logic
+    (include/template.h:55-92) hoisted into vectorized host precompute.
+    """
+    cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
+    cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
+    B = cu_q.shape[0] - 1
+
+    iq = jnp.arange(padded_q, dtype=jnp.int32)
+    q_seg = jnp.searchsorted(cu_q[1:], iq, side="right").astype(jnp.int32)
+    q_in = (iq < cu_q[B]) & (q_seg < B)
+    q_seg_c = jnp.clip(q_seg, 0, B - 1)
+    q_pos = iq - cu_q[q_seg_c]
+
+    slq = cu_q[q_seg_c + 1] - cu_q[q_seg_c]
+    slk = cu_k[q_seg_c + 1] - cu_k[q_seg_c]
+    if seqused_k is not None:
+        used = jnp.asarray(seqused_k, jnp.int32)[q_seg_c]
+        slk = jnp.where(used > 0, jnp.minimum(slk, used), 0)
+    if leftpad_k is not None:
+        lp_q = jnp.asarray(leftpad_k, jnp.int32)[q_seg_c]
+        slk = slk - lp_q
+    q_offs = slk - slq
+    q_seg = jnp.where(q_in, q_seg, -1)
+    q_pos = jnp.where(q_in, q_pos, 0)
+
+    ik = jnp.arange(padded_k, dtype=jnp.int32)
+    k_seg = jnp.searchsorted(cu_k[1:], ik, side="right").astype(jnp.int32)
+    k_in = (ik < cu_k[B]) & (k_seg < B)
+    k_seg_c = jnp.clip(k_seg, 0, B - 1)
+    k_pos_raw = ik - cu_k[k_seg_c]
+
+    k_slk = cu_k[k_seg_c + 1] - cu_k[k_seg_c]
+    if seqused_k is not None:
+        used_k = jnp.asarray(seqused_k, jnp.int32)[k_seg_c]
+        k_slk = jnp.where(used_k > 0, jnp.minimum(k_slk, used_k), 0)
+    k_in &= k_pos_raw < k_slk
+    if leftpad_k is not None:
+        lp_k = jnp.asarray(leftpad_k, jnp.int32)[k_seg_c]
+        k_pos = k_pos_raw - lp_k
+        k_in &= k_pos >= 0
+    else:
+        k_pos = k_pos_raw
+    k_seg = jnp.where(k_in, k_seg, -1)
+    k_pos = jnp.where(k_in, k_pos, 0)
+
+    return q_seg, q_pos, q_offs, k_seg, k_pos
+
+
+def _slope_tokens(alibi_slopes, q_seg, Hq):
+    """(B, Hq) slopes -> per-q-token (Hq, Tqp) fp32 (segment-gathered)."""
+    seg_c = jnp.clip(q_seg, 0, alibi_slopes.shape[0] - 1)
+    return alibi_slopes[seg_c, :].T.astype(jnp.float32)  # (Hq, Tqp)
+
+
+# ======================================================================================
+# Forward kernel
+# ======================================================================================
+
+def _varlen_fwd_kernel(
+    *refs,
+    params: masklib.MaskParams,
+    softmax_scale: float,
+    dropout_p: float,
+    num_heads: int,
+    block_q: int,
+    block_k: int,
+    num_kv_blocks: int,
+):
+    has_alibi = params.has_alibi
+    has_dropout = dropout_p > 0.0
+    idx = 0
+    slope_ref = seed_ref = None
+    if has_alibi:
+        slope_ref = refs[idx]; idx += 1
+    if has_dropout:
+        seed_ref = refs[idx]; idx += 1
+    (q_ref, k_ref, v_ref, qseg_ref, qpos_ref, qoff_ref, kseg_ref, kpos_ref,
+     o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs[idx:]
+
+    h, qi, ki = (pl.program_id(i) for i in range(3))
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q_seg = qseg_ref[...]  # (block_q, 1)
+    k_seg = kseg_ref[...]  # (1, block_k)
+    run = masklib.ragged_block_overlaps(q_seg, k_seg)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+        q_pos = qpos_ref[...]
+        k_pos = kpos_ref[...]
+        offs = qoff_ref[...]
+        alibi_slope = slope_ref[0] if has_alibi else None  # (bq, 1)
+        s, valid = masklib.apply_score_pipeline_ragged(
+            s, q_pos, k_pos, q_seg, k_seg, offs,
+            softmax_scale=softmax_scale, params=params, alibi_slope=alibi_slope,
+        )
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(jnp.maximum(s - m_next[:, :1], EXP_CLAMP))
+        p = jnp.where(valid, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        if has_dropout:
+            bh = q_seg * num_heads + h  # (block_q, 1), broadcasts over cols
+            keep = philox.dropout_keep_mask(q_pos, k_pos, bh,
+                                            seed_ref[0], seed_ref[1], dropout_p)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
+
+        v = v_ref[0]
+        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, -jnp.inf, m_scr[:, :1] + jnp.log(l_scr[:, :1]))
+        lse_ref[0] = lse.astype(jnp.float32)
+
+
+def flash_attn_varlen_fwd(
+    q: jnp.ndarray,  # (Tq, Hq, D) packed
+    k: jnp.ndarray,  # (Tk, Hk, D) packed
+    v: jnp.ndarray,
+    cu_seqlens_q, cu_seqlens_k,
+    max_seqlen_q: int, max_seqlen_k: int,
+    softmax_scale: float,
+    params: masklib.MaskParams,
+    alibi_slopes: Optional[jnp.ndarray] = None,  # (B, Hq)
+    dropout_p: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
+    seqused_k=None,
+    leftpad_k=None,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (out (Tq, Hq, D), lse (Hq, Tq) fp32 — the reference's varlen
+    LSE layout (kernel/fused_mha_forward_varlen.cu:519))."""
+    Tq, Hq, D = q.shape
+    Tk, Hk = k.shape[0], k.shape[1]
+    group = Hq // Hk
+    if interpret is None:
+        interpret = use_interpret()
+
+    bs = block_sizes or BlockSizes.for_shape(max_seqlen_q, max_seqlen_k, D)
+    bq, bk = bs.block_q, bs.block_k
+    Tqp, Tkp = round_up(Tq, bq), round_up(Tk, bk)
+
+    qt = jnp.swapaxes(jnp.pad(q, ((0, Tqp - Tq), (0, 0), (0, 0))), 0, 1)
+    kt = jnp.swapaxes(jnp.pad(k, ((0, Tkp - Tk), (0, 0), (0, 0))), 0, 1)
+    vt = jnp.swapaxes(jnp.pad(v, ((0, Tkp - Tk), (0, 0), (0, 0))), 0, 1)
+
+    q_seg, q_pos, q_offs, k_seg, k_pos = build_ragged_info(
+        cu_seqlens_q, cu_seqlens_k, Tq, Tk, Tqp, Tkp,
+        seqused_k=seqused_k, leftpad_k=leftpad_k)
+
+    num_q_blocks, num_kv_blocks = Tqp // bq, Tkp // bk
+    grid = (Hq, num_q_blocks, num_kv_blocks)
+
+    in_specs, inputs = [], []
+    if params.has_alibi:
+        slope_tok = _slope_tokens(alibi_slopes, q_seg, Hq)  # (Hq, Tqp)
+        in_specs.append(pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)))
+        inputs.append(slope_tok[:, :, None])
+    if dropout_p > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(dropout_seed.astype(jnp.uint32))
+
+    qcol = lambda h, qi, ki: (qi, 0)
+    krow = lambda h, qi, ki: (0, ki)
+    in_specs += [
+        pl.BlockSpec((1, bq, D), lambda h, qi, ki: (h, qi, 0)),
+        pl.BlockSpec((1, bk, D), lambda h, qi, ki: (h // group, ki, 0)),
+        pl.BlockSpec((1, bk, D), lambda h, qi, ki: (h // group, ki, 0)),
+        pl.BlockSpec((bq, 1), qcol),
+        pl.BlockSpec((bq, 1), qcol),
+        pl.BlockSpec((bq, 1), qcol),
+        pl.BlockSpec((1, bk), krow),
+        pl.BlockSpec((1, bk), krow),
+    ]
+    inputs += [qt, kt, vt,
+               q_seg[:, None], q_pos[:, None], q_offs[:, None],
+               k_seg[None, :], k_pos[None, :]]
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _varlen_fwd_kernel, params=params, softmax_scale=softmax_scale,
+            dropout_p=dropout_p, num_heads=Hq,
+            block_q=bq, block_k=bk, num_kv_blocks=num_kv_blocks,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, bq, D), lambda h, qi, ki: (h, qi, 0)),
+            pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Hq, Tqp, D), q.dtype),
+            jax.ShapeDtypeStruct((Hq, Tqp, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, MIN_LANES), jnp.float32),
+            pltpu.VMEM((bq, MIN_LANES), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    out = jnp.swapaxes(out[:, :Tq], 0, 1)
+    lse = lse[:, :Tq, 0]
+    return out, lse
+
+
+# ======================================================================================
+# Backward kernels
+# ======================================================================================
+
+def _varlen_dq_kernel(
+    *refs,
+    params, softmax_scale, dropout_p, num_heads, block_q, block_k, num_kv_blocks,
+):
+    has_alibi = params.has_alibi
+    has_dropout = dropout_p > 0.0
+    idx = 0
+    slope_ref = seed_ref = None
+    if has_alibi:
+        slope_ref = refs[idx]; idx += 1
+    if has_dropout:
+        seed_ref = refs[idx]; idx += 1
+    (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+     qseg_ref, qpos_ref, qoff_ref, kseg_ref, kpos_ref,
+     dq_ref, dq_acc) = refs[idx:]
+
+    h, qi, ki = (pl.program_id(i) for i in range(3))
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q_seg = qseg_ref[...]
+    k_seg = kseg_ref[...]
+    run = masklib.ragged_block_overlaps(q_seg, k_seg)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0]
+        kk = k_ref[0]
+        vv = v_ref[0]
+        do = do_ref[0]
+        s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        q_pos = qpos_ref[...]
+        k_pos = kpos_ref[...]
+        alibi_slope = slope_ref[0] if has_alibi else None
+        s, valid = masklib.apply_score_pipeline_ragged(
+            s, q_pos, k_pos, q_seg, k_seg, qoff_ref[...],
+            softmax_scale=softmax_scale, params=params, alibi_slope=alibi_slope,
+        )
+        lse_rows = lse_ref[0]      # (bq, 1)
+        delta_rows = delta_ref[0]
+        p = _recompute_p(s, valid, lse_rows)
+        dov = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if has_dropout:
+            bh = q_seg * num_heads + h
+            keep = philox.dropout_keep_mask(q_pos, k_pos, bh,
+                                            seed_ref[0], seed_ref[1], dropout_p)
+            p_drop = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
+        else:
+            p_drop = p
+        ds = _grad_scores(p, p_drop, dov, delta_rows, s, softmax_scale, params, valid)
+        dq_acc[...] += jax.lax.dot_general(
+            ds.astype(kk.dtype), kk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _varlen_dkv_kernel(
+    *refs,
+    params, softmax_scale, dropout_p, num_heads, group,
+    block_q, block_k, num_q_blocks, num_inner,
+):
+    has_alibi = params.has_alibi
+    has_dropout = dropout_p > 0.0
+    idx = 0
+    slope_ref = seed_ref = None
+    if has_alibi:
+        slope_ref = refs[idx]; idx += 1
+    if has_dropout:
+        seed_ref = refs[idx]; idx += 1
+    (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+     qseg_ref, qpos_ref, qoff_ref, kseg_ref, kpos_ref,
+     dk_ref, dv_ref, dk_acc, dv_acc) = refs[idx:]
+
+    hk, ki, t = (pl.program_id(i) for i in range(3))
+    g = t // num_q_blocks
+    h = hk * group + g
+
+    @pl.when(t == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q_seg = qseg_ref[...]  # (1, bq)
+    k_seg = kseg_ref[...]  # (bk, 1)
+    run = masklib.ragged_block_overlaps(q_seg, k_seg)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0]
+        kk = k_ref[0]
+        vv = v_ref[0]
+        do = do_ref[0]
+        st = jax.lax.dot_general(kk, q, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (bk, bq)
+        q_pos = qpos_ref[...]  # (1, bq)
+        k_pos = kpos_ref[...]  # (bk, 1)
+        alibi_slope = slope_ref[0] if has_alibi else None  # (1, bq)
+        st, valid = masklib.apply_score_pipeline_ragged(
+            st, q_pos, k_pos, q_seg, k_seg, qoff_ref[...],
+            softmax_scale=softmax_scale, params=params, alibi_slope=alibi_slope,
+        )
+        lse_cols = lse_ref[0]      # (1, bq)
+        delta_cols = delta_ref[0]
+        pt = _recompute_p(st, valid, lse_cols)
+        dovt = jax.lax.dot_general(vv, do, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        if has_dropout:
+            bh = q_seg * num_heads + h
+            keep = philox.dropout_keep_mask(q_pos, k_pos, bh,
+                                            seed_ref[0], seed_ref[1], dropout_p)
+            pt_drop = jnp.where(keep, pt * (1.0 / (1.0 - dropout_p)), 0.0)
+        else:
+            pt_drop = pt
+        dv_acc[...] += jax.lax.dot_general(
+            pt_drop.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dst = _grad_scores(pt, pt_drop, dovt, delta_cols, st, softmax_scale,
+                           params, valid)
+        dk_acc[...] += jax.lax.dot_general(
+            dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(t == num_inner - 1)
+    def _store():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def flash_attn_varlen_bwd(
+    q, k, v, out, dout, lse,  # packed (T, H, D); lse (Hq, Tq)
+    cu_seqlens_q, cu_seqlens_k,
+    max_seqlen_q: int, max_seqlen_k: int,
+    softmax_scale: float,
+    params: masklib.MaskParams,
+    alibi_slopes=None,
+    dropout_p: float = 0.0,
+    dropout_seed=None,
+    seqused_k=None,
+    leftpad_k=None,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+):
+    Tq, Hq, D = q.shape
+    Tk, Hk = k.shape[0], k.shape[1]
+    group = Hq // Hk
+    if interpret is None:
+        interpret = use_interpret()
+    bs = block_sizes or BlockSizes.for_shape(max_seqlen_q, max_seqlen_k, D)
+
+    delta = jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32), axis=-1)
+    delta = delta.T  # (Hq, Tq)
+    lse_safe = jnp.maximum(lse, NEG_INF)
+
+    def run_pass(bq, bk, which):
+        Tqp, Tkp = round_up(Tq, bq), round_up(Tk, bk)
+        qt = jnp.swapaxes(jnp.pad(q, ((0, Tqp - Tq), (0, 0), (0, 0))), 0, 1)
+        kt = jnp.swapaxes(jnp.pad(k, ((0, Tkp - Tk), (0, 0), (0, 0))), 0, 1)
+        vt = jnp.swapaxes(jnp.pad(v, ((0, Tkp - Tk), (0, 0), (0, 0))), 0, 1)
+        dot_ = jnp.swapaxes(jnp.pad(dout, ((0, Tqp - Tq), (0, 0), (0, 0))), 0, 1)
+        lsep = jnp.pad(lse_safe, ((0, 0), (0, Tqp - Tq)))
+        deltap = jnp.pad(delta, ((0, 0), (0, Tqp - Tq)))
+        q_seg, q_pos, q_offs, k_seg, k_pos = build_ragged_info(
+            cu_seqlens_q, cu_seqlens_k, Tq, Tk, Tqp, Tkp,
+            seqused_k=seqused_k, leftpad_k=leftpad_k)
+        num_q_blocks, num_kv_blocks = Tqp // bq, Tkp // bk
+
+        feat_specs, feat_inputs = [], []
+        if params.has_alibi:
+            slope_tok = _slope_tokens(alibi_slopes, q_seg, Hq)
+            if which == "dq":
+                feat_specs.append(
+                    pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)))
+                feat_inputs.append(slope_tok[:, :, None])
+            else:
+                feat_specs.append(pl.BlockSpec(
+                    (1, 1, bq),
+                    lambda hk, ki, t: (hk * group + t // num_q_blocks, 0,
+                                       t % num_q_blocks)))
+                feat_inputs.append(slope_tok[:, None, :])
+        if dropout_p > 0.0:
+            feat_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            feat_inputs.append(dropout_seed.astype(jnp.uint32))
+
+        if which == "dq":
+            qmap = lambda h, qi, ki: (h, qi, 0)
+            kmap = lambda h, qi, ki: (h // group, ki, 0)
+            lmap = lambda h, qi, ki: (h, qi, 0)
+            qcol = lambda h, qi, ki: (qi, 0)
+            krow = lambda h, qi, ki: (0, ki)
+            in_specs = feat_specs + [
+                pl.BlockSpec((1, bq, D), qmap),
+                pl.BlockSpec((1, bk, D), kmap),
+                pl.BlockSpec((1, bk, D), kmap),
+                pl.BlockSpec((1, bq, D), qmap),
+                pl.BlockSpec((1, bq, 1), lmap),
+                pl.BlockSpec((1, bq, 1), lmap),
+                pl.BlockSpec((bq, 1), qcol),
+                pl.BlockSpec((bq, 1), qcol),
+                pl.BlockSpec((bq, 1), qcol),
+                pl.BlockSpec((1, bk), krow),
+                pl.BlockSpec((1, bk), krow),
+            ]
+            inputs = feat_inputs + [
+                qt, kt, vt, dot_,
+                lsep[:, :, None], deltap[:, :, None],
+                q_seg[:, None], q_pos[:, None], q_offs[:, None],
+                k_seg[None, :], k_pos[None, :],
+            ]
+            dq = pl.pallas_call(
+                functools.partial(
+                    _varlen_dq_kernel, params=params, softmax_scale=softmax_scale,
+                    dropout_p=dropout_p, num_heads=Hq,
+                    block_q=bq, block_k=bk, num_kv_blocks=num_kv_blocks),
+                grid=(Hq, num_q_blocks, num_kv_blocks),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, bq, D), qmap),
+                out_shape=jax.ShapeDtypeStruct((Hq, Tqp, D), q.dtype),
+                scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel", "arbitrary")),
+                interpret=interpret,
+            )(*inputs)
+            return jnp.swapaxes(dq[:, :Tq], 0, 1)
+
+        # dkv pass
+        num_inner = group * num_q_blocks
+        qmap = lambda hk, ki, t: (hk * group + t // num_q_blocks,
+                                  t % num_q_blocks, 0)
+        kmap = lambda hk, ki, t: (hk, ki, 0)
+        lmap = lambda hk, ki, t: (hk * group + t // num_q_blocks, 0,
+                                  t % num_q_blocks)
+        qrow = lambda hk, ki, t: (0, t % num_q_blocks)
+        kcol = lambda hk, ki, t: (ki, 0)
+        in_specs = feat_specs + [
+            pl.BlockSpec((1, bq, D), qmap),
+            pl.BlockSpec((1, bk, D), kmap),
+            pl.BlockSpec((1, bk, D), kmap),
+            pl.BlockSpec((1, bq, D), qmap),
+            pl.BlockSpec((1, 1, bq), lmap),
+            pl.BlockSpec((1, 1, bq), lmap),
+            pl.BlockSpec((1, bq), qrow),
+            pl.BlockSpec((1, bq), qrow),
+            pl.BlockSpec((1, bq), qrow),
+            pl.BlockSpec((bk, 1), kcol),
+            pl.BlockSpec((bk, 1), kcol),
+        ]
+        inputs = feat_inputs + [
+            qt, kt, vt, dot_,
+            lsep[:, None, :], deltap[:, None, :],
+            q_seg[None, :], q_pos[None, :], q_offs[None, :],
+            k_seg[:, None], k_pos[:, None],
+        ]
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _varlen_dkv_kernel, params=params, softmax_scale=softmax_scale,
+                dropout_p=dropout_p, num_heads=Hq, group=group,
+                block_q=bq, block_k=bk, num_q_blocks=num_q_blocks,
+                num_inner=num_inner),
+            grid=(Hk, num_kv_blocks, num_inner),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, bk, D), kmap),
+                pl.BlockSpec((1, bk, D), kmap),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((Hk, Tkp, D), k.dtype),
+                jax.ShapeDtypeStruct((Hk, Tkp, D), v.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bk, D), jnp.float32),
+                pltpu.VMEM((bk, D), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(*inputs)
+        return (jnp.swapaxes(dk[:, :Tk], 0, 1), jnp.swapaxes(dv[:, :Tk], 0, 1))
+
+    dq = run_pass(bs.block_q_dq, bs.block_k_dq, "dq")
+    dk, dv = run_pass(bs.block_q_dkv, bs.block_k_dkv, "dkv")
+    return dq, dk, dv

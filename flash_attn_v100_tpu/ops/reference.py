@@ -86,8 +86,13 @@ def mha_reference(
     upcast: bool = True,
     return_lse: bool = False,
     return_dmask: bool = False,
+    dropout_bh_base: int = 0,
 ):
-    """Oracle attention.  Returns out (B, M, Hq, D) [, lse (B, Hq, M)] [, dmask]."""
+    """Oracle attention.  Returns out (B, M, Hq, D) [, lse (B, Hq, M)] [, dmask].
+
+    `dropout_bh_base` offsets the Philox (batch*H + head) stream id — used by
+    the varlen oracle so per-sequence calls reproduce the packed kernel's
+    per-segment dropout streams."""
     dtype_og = q.dtype
     B, M, Hq, D = q.shape
     N, Hk = k.shape[1], k.shape[2]
@@ -122,7 +127,8 @@ def mha_reference(
         seed_lo, seed_hi = philox.split_seed(dropout_seed)
         row_ids = jnp.broadcast_to(jnp.arange(M)[:, None], (M, N))
         col_ids = jnp.broadcast_to(jnp.arange(N)[None, :], (M, N))
-        bh = jnp.arange(B * Hq, dtype=jnp.uint32).reshape(B, Hq, 1, 1)
+        bh = ((jnp.arange(B, dtype=jnp.uint32)[:, None] + dropout_bh_base) * Hq
+              + jnp.arange(Hq, dtype=jnp.uint32)[None, :]).reshape(B, Hq, 1, 1)
         keep = philox.dropout_keep_mask(
             row_ids[None, None], col_ids[None, None], bh, seed_lo, seed_hi, dropout_p
         )
@@ -195,7 +201,7 @@ def mha_reference_varlen(
             softmax_scale=softmax_scale, causal=causal, window_size=window_size,
             softcap=softcap, alibi_slopes=slopes_b,
             dropout_p=dropout_p, dropout_seed=dropout_seed, upcast=upcast,
-            return_lse=True,
+            return_lse=True, dropout_bh_base=b,
         )
         outs.append(o_b[0])
         lses.append(lse_b[0])  # (Hq, m)

@@ -1,5 +1,234 @@
-"""Varlen (packed cu_seqlens) attention — implemented in a later milestone."""
+"""Public varlen attention API — `flash_attn_varlen_func`.
+
+Mirrors the reference (flash_attn_v100/flash_attn_interface.py:157-318):
+packed (total, H, D) layout, int32 cu_seqlens, head-dim %8 padding, default
+scale from the original head dim, softcap ⊥ dropout, deterministic
+warn-and-ignore.  Extras carried over from the binding surface the python
+wrapper hardwires to None (interface.py:221-223): `seqused_k`, `leftpad_k`.
+
+`block_table` (paged K/V for prefill, reference:
+kernel/fused_mha_forward_varlen.cu:184-199) is forward-only, like the
+reference: pages are gathered into a packed K/V stream host-side (XLA gather
+saturates HBM bandwidth; the decode path has the fused in-kernel paged loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import warnings
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_v100_tpu.config import kernel_dtype, use_interpret
+from flash_attn_v100_tpu.ops import philox
+from flash_attn_v100_tpu.ops.pallas import masks as masklib
+from flash_attn_v100_tpu.ops.pallas.block_sizes import BlockSizes
+from flash_attn_v100_tpu.ops.pallas.varlen import (
+    flash_attn_varlen_fwd, flash_attn_varlen_bwd, build_ragged_info)
+from flash_attn_v100_tpu.ops.flash_attention import _normalize_seed
 
 
-def flash_attn_varlen_func(*args, **kwargs):
-    raise NotImplementedError("varlen attention: next milestone")
+@dataclasses.dataclass(frozen=True)
+class _VarlenCfg:
+    softmax_scale: float
+    params: masklib.MaskParams
+    dropout_p: float
+    max_seqlen_q: int
+    max_seqlen_k: int
+    has_seqused: bool
+    has_leftpad: bool
+    block_sizes: Optional[BlockSizes]
+    interpret: Optional[bool]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _varlen_core(cfg, q, k, v, cu_q, cu_k, seqused_k, leftpad_k, slopes, seed):
+    out, lse = flash_attn_varlen_fwd(
+        q, k, v, cu_q, cu_k, cfg.max_seqlen_q, cfg.max_seqlen_k,
+        cfg.softmax_scale, cfg.params,
+        alibi_slopes=slopes, dropout_p=cfg.dropout_p, dropout_seed=seed,
+        seqused_k=seqused_k, leftpad_k=leftpad_k,
+        block_sizes=cfg.block_sizes, interpret=cfg.interpret,
+    )
+    return out, lse
+
+
+def _varlen_fwd_rule(cfg, q, k, v, cu_q, cu_k, seqused_k, leftpad_k, slopes, seed):
+    out, lse = _varlen_core(cfg, q, k, v, cu_q, cu_k, seqused_k, leftpad_k,
+                            slopes, seed)
+    return (out, lse), (q, k, v, out, lse, cu_q, cu_k, seqused_k, leftpad_k,
+                        slopes, seed)
+
+
+def _varlen_bwd_rule(cfg, res, cts):
+    dout, _ = cts
+    q, k, v, out, lse, cu_q, cu_k, seqused_k, leftpad_k, slopes, seed = res
+    dq, dk, dv = flash_attn_varlen_bwd(
+        q, k, v, out, dout, lse, cu_q, cu_k,
+        cfg.max_seqlen_q, cfg.max_seqlen_k, cfg.softmax_scale, cfg.params,
+        alibi_slopes=slopes, dropout_p=cfg.dropout_p, dropout_seed=seed,
+        seqused_k=seqused_k, leftpad_k=leftpad_k,
+        block_sizes=cfg.block_sizes, interpret=cfg.interpret,
+    )
+
+    def f0(x):
+        return None if x is None else jnp.zeros(x.shape, jax.dtypes.float0)
+
+    dslopes = None if slopes is None else jnp.zeros_like(slopes)
+    return (dq, dk, dv, f0(cu_q), f0(cu_k), f0(seqused_k), f0(leftpad_k),
+            dslopes, f0(seed))
+
+
+_varlen_core.defvjp(_varlen_fwd_rule, _varlen_bwd_rule)
+
+
+def _gather_paged_kv(k_pages, v_pages, block_table, cu_seqlens_k, max_seqlen_k):
+    """Paged (num_pages, page_size, Hk, D) K/V + (B, max_pages) block_table
+    -> packed (Tk', Hk, D) streams and a rebuilt cu_seqlens_k.
+
+    The reference resolves pages per KV tile inside the kernel
+    (kernel/fused_mha_forward_varlen.cu:184-199); for prefill the gather is
+    bandwidth-bound either way, so XLA's fused gather is used here.
+    """
+    num_pages, page_size, Hk, D = k_pages.shape
+    B, max_pages = block_table.shape
+    # page-granular gather: per sequence use ceil(max_seqlen_k/page_size) pages
+    pages_per_seq = -(-max_seqlen_k // page_size)
+    table = block_table[:, :pages_per_seq]                    # (B, P)
+    k_seq = jnp.take(k_pages, table, axis=0)                  # (B, P, ps, Hk, D)
+    v_seq = jnp.take(v_pages, table, axis=0)
+    k_seq = k_seq.reshape(B, pages_per_seq * page_size, Hk, D)
+    v_seq = v_seq.reshape(B, pages_per_seq * page_size, Hk, D)
+    # pack as fixed stride per sequence; cu_seqlens gives true lengths
+    per = pages_per_seq * page_size
+    new_cu = jnp.arange(B + 1, dtype=jnp.int32) * per
+    lens = jnp.asarray(cu_seqlens_k, jnp.int32)
+    seqlens = lens[1:] - lens[:-1]
+    return (k_seq.reshape(B * per, Hk, D), v_seq.reshape(B * per, Hk, D),
+            new_cu, seqlens)
+
+
+def flash_attn_varlen_func(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cu_seqlens_q: jnp.ndarray,
+    cu_seqlens_k: jnp.ndarray,
+    max_seqlen_q: int,
+    max_seqlen_k: int,
+    dropout_p: float = 0.0,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    deterministic: bool = False,
+    return_attn_probs: bool = False,
+    block_table: Optional[jnp.ndarray] = None,
+    *,
+    seqused_k: Optional[jnp.ndarray] = None,
+    leftpad_k: Optional[jnp.ndarray] = None,
+    dropout_seed: Optional[Union[int, jnp.ndarray]] = None,
+    rng_key: Optional[jax.Array] = None,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+):
+    """Varlen flash attention on packed (total, H, D) tensors.
+
+    Reference surface: flash_attn_v100/flash_attn_interface.py:282-318.
+    With `block_table`, `k`/`v` are paged pools (num_pages, page_size, Hk, D).
+    Returns out (total_q, Hq, D); with return_attn_probs, (out, lse, dmask)
+    where lse is (Hq, total_q) fp32.
+    """
+    if deterministic:
+        warnings.warn(
+            "Forward is always deterministic. Deterministic backward is not supported.",
+            RuntimeWarning,
+        )
+    if softcap > 0.0 and dropout_p > 0.0:
+        raise ValueError("softcap and dropout are mutually exclusive "
+                         "(reference: kernel/fused_mha_forward_varlen.cu)")
+    cu_seqlens_q = jnp.asarray(cu_seqlens_q, jnp.int32)
+    cu_seqlens_k = jnp.asarray(cu_seqlens_k, jnp.int32)
+    B = cu_seqlens_q.shape[0] - 1
+
+    if block_table is not None:
+        if dropout_p > 0.0:
+            raise ValueError("paged K/V with dropout is not supported")
+        k, v, cu_seqlens_k, seqlens_k = _gather_paged_kv(
+            k, v, block_table, cu_seqlens_k, max_seqlen_k)
+        # true lengths enforced through seqused_k
+        seqused_k = seqlens_k if seqused_k is None else jnp.minimum(
+            jnp.asarray(seqused_k, jnp.int32), seqlens_k)
+
+    Tq, Hq, D_og = q.shape
+    Hk = k.shape[1]
+    if Hq % Hk != 0:
+        raise ValueError("number of q heads must be divisible by number of kv heads")
+    if softmax_scale is None:
+        softmax_scale = D_og ** -0.5
+
+    pad_d = (8 - D_og % 8) % 8
+    if pad_d:
+        pad = ((0, 0), (0, 0), (0, pad_d))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    dtype_og = q.dtype
+    interp_eff = use_interpret() if interpret is None else interpret
+    kdt = kernel_dtype(dtype_og, interp_eff)
+    if kdt != dtype_og:
+        q, k, v = q.astype(kdt), k.astype(kdt), v.astype(kdt)
+
+    causal_eff = causal and max_seqlen_q > 1
+    params = masklib.MaskParams(
+        causal=bool(causal_eff),
+        window_left=int(window_size[0]),
+        window_right=int(window_size[1]),
+        softcap=float(softcap),
+        has_alibi=alibi_slopes is not None,
+    )
+    slopes = None
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if slopes.ndim == 1:
+            slopes = jnp.broadcast_to(slopes[None], (B, Hq))
+        assert slopes.shape == (B, Hq)
+    seed = _normalize_seed(dropout_p, dropout_seed, rng_key)
+
+    cfg = _VarlenCfg(
+        softmax_scale=float(softmax_scale), params=params,
+        dropout_p=float(dropout_p),
+        max_seqlen_q=int(max_seqlen_q), max_seqlen_k=int(max_seqlen_k),
+        has_seqused=seqused_k is not None, has_leftpad=leftpad_k is not None,
+        block_sizes=block_sizes, interpret=interpret,
+    )
+    sk = None if seqused_k is None else jnp.asarray(seqused_k, jnp.int32)
+    lp = None if leftpad_k is None else jnp.asarray(leftpad_k, jnp.int32)
+
+    out, lse = _varlen_core(cfg, q, k, v, cu_seqlens_q, cu_seqlens_k,
+                            sk, lp, slopes, seed)
+    if pad_d:
+        out = out[..., :D_og]
+    if kdt != dtype_og:
+        out = out.astype(dtype_og)
+
+    if return_attn_probs:
+        dmask = None
+        if dropout_p > 0.0:
+            # [total_q, Hq, max_seqlen_k] layout parity
+            # (reference: kernel/fused_mha_forward_varlen.cu:532)
+            q_seg, q_pos, _, _, _ = build_ragged_info(
+                cu_seqlens_q, cu_seqlens_k, Tq, k.shape[0], Tq, k.shape[0],
+                seqused_k=sk, leftpad_k=lp)
+            rows = q_pos[:, None, None]
+            cols = jnp.arange(max_seqlen_k, dtype=jnp.int32)[None, None, :]
+            bh = (q_seg[:, None, None] * Hq
+                  + jnp.arange(Hq, dtype=jnp.int32)[None, :, None])
+            keep = philox.dropout_keep_mask(rows, cols, bh, seed[0], seed[1],
+                                            dropout_p)
+            dmask = jnp.where(keep, 1.0, -1.0).astype(dtype_og)
+        return out, lse, dmask
+    return out
