@@ -1,5 +1,242 @@
-"""KV-cache decode attention — implemented in a later milestone."""
+"""Public KV-cache decode API — `flash_attn_with_kvcache`.
+
+Reference surface: flash_attn_v100/flash_attn_interface.py:323-391 and the
+host wrapper kernel/fused_mha_forward_kvcache.cu:416-652:
+  * q (B, T_new, Hq, D); contiguous cache (B_c, N, Hk, D) or paged cache
+    (num_pages, page_size, Hk, D) + block_table (B, max_pages),
+  * optional new k/v appended at cache_seqlens (+ leftpad),
+  * fused rotary on Q and new K (interleaved or non-interleaved); Q decode
+    position is cache_seqlens + row when causal/local, else cache_seqlens
+    (reference: kernel/fused_mha_forward_kvcache.cu:177, 201-202),
+  * cache_batch_idx (⊥ paged, reference :546), cache_leftpad (⊥ paged, :556),
+  * causal implies window_right = 0 (reference :466),
+  * num_splits — the reference stubs this (:462); here real split-KV.
+
+JAX-functional delta: the reference updates k_cache/v_cache in place; a pure
+function must return the new caches.  When `k`/`v` are given, the return value
+grows a trailing `(k_cache, v_cache)` element:
+    out                               # no new kv, no lse
+    (out, lse)                        # return_softmax_lse
+    (out, (k_cache, v_cache))         # new kv appended
+    (out, lse, (k_cache, v_cache))    # both
+Under jit, donate the cache arguments to make the append write in place.
+
+Performance note: caches in the reference's token-major layouts are accepted
+but cost a transpose per call; the TPU-native layout is head-major
+(`kv_cache_layout="HND"`: contiguous (B_c, Hk, N, D), paged
+(Hk, num_pages, page_size, D)) which reaches the kernel as a free reshape.
+`flash_attn_v100_tpu.cache` allocates caches in this layout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_v100_tpu.config import kernel_dtype, use_interpret
+from flash_attn_v100_tpu.ops.pallas import masks as masklib
+from flash_attn_v100_tpu.ops.pallas.block_sizes import cdiv, round_up
+from flash_attn_v100_tpu.ops.pallas.decode import paged_decode_attention, merge_partials
+from flash_attn_v100_tpu.ops.rotary import apply_rotary_emb
 
 
-def flash_attn_with_kvcache(*args, **kwargs):
-    raise NotImplementedError("kvcache attention: next milestone")
+def _pick_page_size(N: int) -> int:
+    for ps in (512, 256, 128, 64, 32, 16, 8):
+        if N % ps == 0:
+            return ps
+    return N
+
+
+def flash_attn_with_kvcache(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    k: Optional[jnp.ndarray] = None,
+    v: Optional[jnp.ndarray] = None,
+    rotary_cos: Optional[jnp.ndarray] = None,
+    rotary_sin: Optional[jnp.ndarray] = None,
+    cache_seqlens: Optional[Union[int, jnp.ndarray]] = None,
+    cache_batch_idx: Optional[jnp.ndarray] = None,
+    cache_leftpad: Optional[jnp.ndarray] = None,
+    block_table: Optional[jnp.ndarray] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = False,
+    window_size: Tuple[int, int] = (-1, -1),
+    softcap: float = 0.0,
+    rotary_interleaved: bool = True,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    num_splits: int = 0,
+    return_softmax_lse: bool = False,
+    *,
+    kv_cache_layout: str = "NHD",
+    interpret: Optional[bool] = None,
+):
+    B, T_new, Hq, D_og = q.shape
+    paged = block_table is not None
+    if paged and cache_batch_idx is not None:
+        raise ValueError("cache_batch_idx is not supported with paged KV cache "
+                         "(reference: kernel/fused_mha_forward_kvcache.cu:546)")
+    if paged and cache_leftpad is not None:
+        raise ValueError("cache_leftpad is not supported with paged KV cache "
+                         "(reference: kernel/fused_mha_forward_kvcache.cu:556)")
+    if (k is None) != (v is None):
+        raise ValueError("k and v must be given together")
+    if softmax_scale is None:
+        softmax_scale = D_og ** -0.5
+
+    # ---- normalize cache to the head-major 5D page-pool view ----
+    if kv_cache_layout == "NHD":
+        if paged:
+            # (P, ps, Hk, D) -> (Hk, P, ps, D): layout conversion (copy)
+            kc = jnp.transpose(k_cache, (2, 0, 1, 3))
+            vc = jnp.transpose(v_cache, (2, 0, 1, 3))
+        else:
+            # (Bc, N, Hk, D) -> (Bc, Hk, N, D)
+            kc = jnp.swapaxes(k_cache, 1, 2)
+            vc = jnp.swapaxes(v_cache, 1, 2)
+    elif kv_cache_layout == "HND":
+        kc, vc = k_cache, v_cache
+    else:
+        raise ValueError(f"unknown kv_cache_layout {kv_cache_layout!r}")
+
+    if paged:
+        Hk, P, page_size, D = kc.shape
+        N_capacity = block_table.shape[1] * page_size
+    else:
+        Bc, Hk, N, D = kc.shape
+        page_size = _pick_page_size(N)
+        N_capacity = N
+    assert D == D_og, "cache head dim must match q"
+    group = Hq // Hk
+
+    # ---- cache_seqlens normalization (reference: interface.py:355-358) ----
+    if cache_seqlens is None:
+        cache_seqlens = N_capacity if k is None else 0
+    if isinstance(cache_seqlens, int):
+        cache_seqlens = jnp.full((B,), cache_seqlens, jnp.int32)
+    cache_seqlens = jnp.asarray(cache_seqlens, jnp.int32)
+    leftpad = (jnp.zeros((B,), jnp.int32) if cache_leftpad is None
+               else jnp.asarray(cache_leftpad, jnp.int32))
+    bidx = (jnp.arange(B, dtype=jnp.int32) if cache_batch_idx is None
+            else jnp.asarray(cache_batch_idx, jnp.int32))
+
+    # ---- rotary on q and new k ----
+    local = window_size[0] >= 0 or window_size[1] >= 0
+    if rotary_cos is not None:
+        if causal or local:
+            pos_q = cache_seqlens[:, None] + jnp.arange(T_new, dtype=jnp.int32)
+        else:
+            pos_q = jnp.broadcast_to(cache_seqlens[:, None], (B, T_new))
+        q = apply_rotary_emb(q, rotary_cos, rotary_sin, pos_q,
+                             interleaved=rotary_interleaved)
+        if k is not None:
+            pos_k = cache_seqlens[:, None] + jnp.arange(T_new, dtype=jnp.int32)
+            k = apply_rotary_emb(k, rotary_cos, rotary_sin, pos_k,
+                                 interleaved=rotary_interleaved)
+
+    # ---- append new k/v (functional; in-place under donation) ----
+    appended = k is not None
+    if appended:
+        pos = cache_seqlens[:, None] + jnp.arange(T_new, dtype=jnp.int32)  # (B,T)
+        if paged:
+            page_ids = jnp.take_along_axis(block_table.astype(jnp.int32),
+                                           pos // page_size, axis=1)  # (B,T)
+            off = pos % page_size
+            h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, None, :]
+            kc = kc.at[h_ix, page_ids[..., None], off[..., None]].set(
+                k.astype(kc.dtype))
+            vc = vc.at[h_ix, page_ids[..., None], off[..., None]].set(
+                v.astype(vc.dtype))
+        else:
+            rows = pos + leftpad[:, None]
+            kt_new = jnp.swapaxes(k, 1, 2)  # (B, Hk, T, D)
+            vt_new = jnp.swapaxes(v, 1, 2)
+            b_ix = bidx[:, None, None]
+            h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, :, None]
+            kc = kc.at[b_ix, h_ix, rows[:, None, :]].set(kt_new.astype(kc.dtype))
+            vc = vc.at[b_ix, h_ix, rows[:, None, :]].set(vt_new.astype(vc.dtype))
+
+    lens_total = cache_seqlens + (T_new if appended else 0)
+
+    # ---- page pool view + table ----
+    if paged:
+        pool_k = kc[None]                       # (1, Hk, P, ps, D)
+        pool_v = vc[None]
+        tbl = block_table.astype(jnp.int32)
+        C2 = P
+    else:
+        nb = N // page_size
+        pool_k = kc.reshape(Bc, Hk, nb, page_size, D)
+        pool_v = vc.reshape(Bc, Hk, nb, page_size, D)
+        max_pages = cdiv(N, page_size)
+        tbl = (bidx[:, None] * nb
+               + jnp.arange(max_pages, dtype=jnp.int32)[None, :])
+        C2 = nb
+
+    # ---- q rows: (B, T, Hq, D) -> (B, Hk, group*T, D), pad to sublanes ----
+    dtype_og = q.dtype
+    interp_eff = use_interpret() if interpret is None else interpret
+    kdt = kernel_dtype(dtype_og, interp_eff)
+    q_rows = jnp.swapaxes(q, 1, 2).reshape(B, Hk, group * T_new, D)
+    Rq = max(round_up(group * T_new, 8), 8)
+    if Rq != group * T_new:
+        q_rows = jnp.pad(q_rows, ((0, 0), (0, 0), (0, Rq - group * T_new), (0, 0)))
+    q_rows = q_rows.astype(kdt)
+    # fp16 caches can't be read by Mosaic (no f16 on TPU): cast the pool to
+    # the kernel dtype.  This copies the cache — allocate bf16 caches on TPU
+    # (flash_attn_v100_tpu.cache does) to stay zero-copy.
+    if pool_k.dtype != kdt and pool_k.dtype in (jnp.float16, jnp.bfloat16, jnp.float32):
+        pool_k = pool_k.astype(kdt)
+        pool_v = pool_v.astype(kdt)
+
+    # causal => window_right = 0 (reference :466); causal flag itself then
+    # only affects the intra-new-token triangle, which window_right=0 covers.
+    wl, wr = int(window_size[0]), int(window_size[1])
+    if causal:
+        wr = 0
+    params = masklib.MaskParams(
+        causal=bool(causal and T_new > 1),
+        window_left=wl, window_right=wr,
+        softcap=float(softcap),
+        has_alibi=alibi_slopes is not None,
+    )
+
+    slopes_rows = None
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if slopes.ndim == 1:
+            slopes = jnp.broadcast_to(slopes[None], (B, Hq))
+        # rows are (g, t): slope depends on head = hk*group + g
+        sr = slopes.reshape(B, Hk, group, 1)
+        sr = jnp.broadcast_to(sr, (B, Hk, group, T_new)).reshape(B, Hk, group * T_new)
+        if Rq != group * T_new:
+            sr = jnp.pad(sr, ((0, 0), (0, 0), (0, Rq - group * T_new)))
+        slopes_rows = sr[..., None]
+
+    o_part, lse_part = paged_decode_attention(
+        q_rows, pool_k, pool_v, tbl, lens_total, leftpad,
+        softmax_scale=float(softmax_scale), params=params,
+        t_new=T_new, group=group, num_splits=num_splits,
+        alibi_slopes_rows=slopes_rows, interpret=interpret,
+    )
+    o, lse = merge_partials(o_part, lse_part)   # (B, Hk, Rq, D), (B, Hk, Rq, 1)
+
+    o = o[:, :, :group * T_new].reshape(B, Hk, group, T_new, D)
+    out = o.transpose(0, 3, 1, 2, 4).reshape(B, T_new, Hq, D).astype(dtype_og)
+    lse = lse[:, :, :group * T_new, 0].reshape(B, Hq, T_new)  # head = hk*group+g
+
+    results = [out]
+    if return_softmax_lse:
+        results.append(lse)
+    if appended:
+        if kv_cache_layout == "NHD":
+            if paged:
+                kc = jnp.transpose(kc, (1, 2, 0, 3))
+                vc = jnp.transpose(vc, (1, 2, 0, 3))
+            else:
+                kc = jnp.swapaxes(kc, 1, 2)
+                vc = jnp.swapaxes(vc, 1, 2)
+        results.append((kc, vc))
+    return results[0] if len(results) == 1 else tuple(results)

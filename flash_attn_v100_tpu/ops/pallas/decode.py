@@ -1,0 +1,291 @@
+"""KV-cache decode attention — unified paged/contiguous Pallas kernel with
+real split-KV.
+
+TPU re-design of the reference's kvcache kernel
+(reference: kernel/fused_mha_forward_kvcache.cu:24-295) with the `num_splits`
+feature the reference stubs out ("not supported now, for future develop",
+kernel/fused_mha_forward_kvcache.cu:462) actually implemented.
+
+Design (TPU-first):
+  * ONE kernel for paged and contiguous caches: a contiguous (B, N, Hk, D)
+    cache is reinterpreted as synthetic pages of the kv block size with an
+    iota block table (a free reshape) — the paged path *is* the general path.
+    The reference instead templates IS_PAGED through every load
+    (fused_mha_forward_kvcache.cu:190-277).
+  * The page gather rides the Pallas pipeline: the K/V BlockSpec index_map
+    reads the scalar-prefetched block table, so Mosaic's own double-buffered
+    DMA fetches pages — no hand-rolled descriptor machinery.
+  * GQA: the per-kv-head Q tile is (group * T_new) rows, folding the head
+    group into the matmul M dimension — MXU work per streamed KV byte is
+    maximized, the decode analog of the reference's per-(b,h) grid.
+  * Split-KV: the KV range is cut into `num_splits` grid-parallel chunks;
+    each emits a normalized partial O and its LSE; chunks merge outside via
+    the associative (m, l, O) combination — the same identity the reference's
+    online softmax applies per block (include/softmax.h:13-19), lifted to
+    whole ranges.  This is what keeps long-context decode from serializing on
+    a single grid cell, and the same merge later combines partials across
+    chips.
+  * RoPE on Q / new K and the cache append run as fused XLA ops in the
+    wrapper: at T_new tokens they are negligible next to streaming the cache,
+    which is the entire cost of decode (HBM-bound).
+  * INT8/FP8 cache: optional per-token scale pages dequantize K/V tiles in
+    VMEM right before the matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_v100_tpu.config import NEG_INF, EXP_CLAMP, use_interpret
+from flash_attn_v100_tpu.ops.pallas.block_sizes import MIN_LANES, cdiv, round_up
+from flash_attn_v100_tpu.ops.pallas import masks as masklib
+
+
+def _decode_kernel(
+    # scalar prefetch
+    tbl_ref,      # (B, S*nb) int32 page table (padded)
+    lens_ref,     # (B,) int32 cache_seqlens (valid tokens incl. appended)
+    lp_ref,       # (B,) int32 leftpad
+    # tensors
+    *refs,
+    params: masklib.MaskParams,
+    softmax_scale: float,
+    t_new: int,
+    group: int,
+    rq: int,
+    page_size: int,
+    blocks_per_split: int,
+    quantized: bool,
+):
+    has_alibi = params.has_alibi
+    idx = 0
+    slopes_ref = None
+    if has_alibi:
+        slopes_ref = refs[idx]; idx += 1
+    if quantized:
+        (q_ref, k_ref, ks_ref, v_ref, vs_ref,
+         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs[idx:]
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[idx:]
+        ks_ref = vs_ref = None
+
+    b, hk, s, ki = (pl.program_id(i) for i in range(4))
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    lp = lp_ref[b]
+    cs = lens_ref[b]                    # valid tokens after leftpad (incl. new)
+    eff_end = lp + cs                   # cache rows [lp, eff_end) are live
+    j_start = (s * blocks_per_split + ki) * page_size
+
+    run = (j_start < eff_end) & (j_start + page_size > lp)
+    if params.window_left >= 0:
+        # oldest token any q row may see: (cs - t_new) - window_left
+        run &= j_start + page_size > lp + (cs - t_new) - params.window_left
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]                # (rq, D)
+        k = k_ref[0, 0, 0]             # (page_size, D)
+        if quantized:
+            k = k.astype(jnp.float32) * ks_ref[0, 0, 0].astype(jnp.float32)
+            k = k.astype(q.dtype)
+        st = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (rq, ps)
+
+        # logical kv position of each column (0 = first live cache row)
+        jl = (jax.lax.broadcasted_iota(jnp.int32, (rq, page_size), 1)
+              + j_start - lp)
+        # q-row -> (g, t): position of the token within the sequence
+        r = jax.lax.broadcasted_iota(jnp.int32, (rq, page_size), 0)
+        t = r % t_new if t_new > 1 else jnp.zeros_like(r)
+        qpos = (cs - t_new) + t
+
+        st = st * softmax_scale
+        if has_alibi:
+            slope = slopes_ref[0, 0]   # (rq, 1)
+            st = st - slope * jnp.abs(qpos - jl).astype(jnp.float32)
+        if params.softcap > 0.0:
+            st = params.softcap * jnp.tanh(st * (1.0 / params.softcap))
+
+        valid = (jl >= 0) & (jl < cs) & (r < group * t_new)
+        if params.causal:
+            valid &= jl <= qpos
+        if params.window_left >= 0:
+            valid &= jl >= qpos - params.window_left
+        if params.window_right >= 0:
+            valid &= jl <= qpos + params.window_right
+        st = jnp.where(valid, st, NEG_INF)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(st, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(jnp.maximum(st - m_next[:, :1], EXP_CLAMP))
+        p = jnp.where(valid, p, 0.0)
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+
+        v = v_ref[0, 0, 0]
+        if quantized:
+            v = v.astype(jnp.float32) * vs_ref[0, 0, 0].astype(jnp.float32)
+            v = v.astype(q.dtype)
+        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    @pl.when(ki == blocks_per_split - 1)
+    def _store():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, -jnp.inf, m_scr[:, :1] + jnp.log(l_scr[:, :1]))
+        lse_ref[0, 0, 0] = lse.astype(jnp.float32)
+
+
+def paged_decode_attention(
+    q_rows: jnp.ndarray,        # (B, Hk, Rq, D): GQA-folded q rows, RoPE applied
+    k_pages: jnp.ndarray,       # (C1, Hk, C2, page_size, D): page pool view;
+                                #   page id p lives at [p // C2, :, p % C2].
+                                #   A paged pool (Hk, P, ps, D) is reshaped to
+                                #   (1, Hk, P, ps, D); a contiguous HND cache
+                                #   (Bc, Hk, N, D) to (Bc, Hk, N/ps, ps, D) —
+                                #   both free.
+    v_pages: jnp.ndarray,
+    block_table: jnp.ndarray,   # (B, max_pages) int32
+    cache_seqlens: jnp.ndarray,  # (B,) int32: live tokens (incl. appended new)
+    leftpad: jnp.ndarray,        # (B,) int32
+    *,
+    softmax_scale: float,
+    params: masklib.MaskParams,
+    t_new: int,
+    group: int,
+    num_splits: int = 0,
+    alibi_slopes_rows: Optional[jnp.ndarray] = None,  # (B, Hk, Rq, 1) fp32
+    k_scales: Optional[jnp.ndarray] = None,  # (C1, Hk, C2, page_size, 1)
+    v_scales: Optional[jnp.ndarray] = None,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split-KV paged attention core.
+
+    Returns (o_part (B, Hk, S, Rq, D) fp32-normalized partials,
+             lse_part (B, Hk, S, Rq, 1) fp32) — merge with `merge_partials`.
+    """
+    B, Hk, Rq, D = q_rows.shape
+    C1, _, C2, page_size, _ = k_pages.shape
+    max_pages = block_table.shape[1]
+    if interpret is None:
+        interpret = use_interpret()
+    quantized = k_scales is not None
+    if out_dtype is None:
+        out_dtype = jnp.float32
+
+    S = num_splits
+    if S <= 0:
+        # fill the chip when B*Hk alone can't (single-core v5e still benefits
+        # from shorter sequential KV chains via pipelining; multi-core via
+        # the "parallel" grid axes)
+        S = max(1, min(8 // max(B * Hk, 1), max_pages))
+    S = min(S, max_pages)
+    nb = cdiv(max_pages, S)
+    tbl = block_table
+    if S * nb != max_pages:
+        tbl = jnp.pad(block_table, ((0, 0), (0, S * nb - max_pages)))
+    tbl = tbl.astype(jnp.int32)
+
+    grid = (B, Hk, S, nb)
+
+    def kmap(b, hk, s, ki, tbl_ref, lens_ref, lp_ref):
+        p = tbl_ref[b, s * nb + ki]
+        return (p // C2, hk, p % C2, 0, 0)
+
+    in_specs = []
+    inputs = []
+    if params.has_alibi:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, Rq, 1), lambda b, hk, s, ki, *_: (b, hk, 0, 0)))
+        inputs.append(alibi_slopes_rows.astype(jnp.float32))
+    in_specs.append(pl.BlockSpec(
+        (1, 1, Rq, D), lambda b, hk, s, ki, *_: (b, hk, 0, 0)))
+    inputs.append(q_rows)
+    in_specs.append(pl.BlockSpec((1, 1, 1, page_size, D), kmap))
+    inputs.append(k_pages)
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, 1, 1, page_size, 1), kmap))
+        inputs.append(k_scales)
+    in_specs.append(pl.BlockSpec((1, 1, 1, page_size, D), kmap))
+    inputs.append(v_pages)
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, 1, 1, page_size, 1), kmap))
+        inputs.append(v_scales)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, Rq, D),
+                         lambda b, hk, s, ki, *_: (b, hk, s, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Rq, 1),
+                         lambda b, hk, s, ki, *_: (b, hk, s, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Rq, MIN_LANES), jnp.float32),
+            pltpu.VMEM((Rq, MIN_LANES), jnp.float32),
+            pltpu.VMEM((Rq, D), jnp.float32),
+        ],
+    )
+
+    o_part, lse_part = pl.pallas_call(
+        functools.partial(
+            _decode_kernel,
+            params=params, softmax_scale=softmax_scale, t_new=t_new,
+            group=group, rq=Rq, page_size=page_size, blocks_per_split=nb,
+            quantized=quantized,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hk, S, Rq, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hk, S, Rq, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(tbl, cache_seqlens.astype(jnp.int32), leftpad.astype(jnp.int32), *inputs)
+
+    return o_part, lse_part
+
+
+def merge_partials(o_part: jnp.ndarray, lse_part: jnp.ndarray):
+    """Combine split-KV partials: O = sum_s w_s O_s with w_s = exp(lse_s - lse*),
+    lse* = logsumexp_s(lse_s) — the cross-range form of the reference's
+    per-block online update (include/softmax.h:13-19).  Also the cross-chip
+    combiner for sequence-sharded decode.
+
+    o_part: (..., S, Rq, D) normalized partials; lse_part: (..., S, Rq, 1).
+    Returns (o (..., Rq, D), lse (..., Rq, 1)).
+    """
+    axis = -3
+    lse_max = jnp.max(lse_part, axis=axis, keepdims=True)
+    lse_max_safe = jnp.where(jnp.isfinite(lse_max), lse_max, 0.0)
+    w = jnp.exp(lse_part - lse_max_safe)
+    w = jnp.where(jnp.isfinite(lse_part), w, 0.0)
+    wsum = jnp.sum(w, axis=axis)                       # (..., Rq, 1)
+    o = jnp.sum(o_part * w, axis=axis)
+    o = o / jnp.where(wsum == 0.0, 1.0, wsum)
+    lse = jnp.where(wsum == 0.0, -jnp.inf,
+                    lse_max_safe[..., 0, :, :] + jnp.log(jnp.where(wsum == 0.0, 1.0, wsum)))
+    return o, lse

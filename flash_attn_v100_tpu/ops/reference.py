@@ -210,3 +210,91 @@ def mha_reference_varlen(
         lse = jnp.concatenate(lses, axis=1)  # (Hq, Tq)
         return out, lse
     return out
+
+
+def mha_reference_kvcache(
+    q,                      # (B, T_new, Hq, D)
+    k_cache, v_cache,       # (Bc, N, Hk, D) contiguous (token-major)
+    k_new=None, v_new=None,
+    rotary_cos=None, rotary_sin=None,
+    cache_seqlens=None,     # (B,) int
+    cache_batch_idx=None,
+    cache_leftpad=None,
+    softmax_scale=None,
+    causal=False,
+    window_size=(-1, -1),
+    softcap=0.0,
+    rotary_interleaved=True,
+    alibi_slopes=None,
+    upcast=True,
+    return_lse=False,
+):
+    """KV-cache decode oracle (test-only, python loop over batch).
+
+    Semantics of the reference kvcache path
+    (kernel/fused_mha_forward_kvcache.cu:416-652): optional RoPE on q/new k,
+    append at cache_seqlens (+ leftpad), attention of the T_new queries
+    against cache[leftpad : leftpad + cache_seqlens + T_new] with
+    bottom-right-aligned causal (kv total as N).  Returns
+    (out, updated k_cache, updated v_cache [, lse])."""
+    import numpy as np
+    from flash_attn_v100_tpu.ops.rotary import apply_rotary_emb
+
+    B, T_new, Hq, D = q.shape
+    Bc, N, Hk, _ = k_cache.shape
+    cs = np.asarray(cache_seqlens if cache_seqlens is not None
+                    else np.full(B, 0 if k_new is not None else N), np.int32)
+    lp = np.zeros(B, np.int32) if cache_leftpad is None else np.asarray(cache_leftpad, np.int32)
+    bidx = np.arange(B) if cache_batch_idx is None else np.asarray(cache_batch_idx)
+    local = window_size[0] >= 0 or window_size[1] >= 0
+
+    if rotary_cos is not None:
+        if causal or local:
+            pos_q = cs[:, None] + np.arange(T_new)
+        else:
+            pos_q = np.broadcast_to(cs[:, None], (B, T_new)).copy()
+        q = apply_rotary_emb(q, rotary_cos, rotary_sin, jnp.asarray(pos_q),
+                             interleaved=rotary_interleaved)
+        if k_new is not None:
+            pos_k = cs[:, None] + np.arange(T_new)
+            k_new = apply_rotary_emb(k_new, rotary_cos, rotary_sin,
+                                     jnp.asarray(pos_k),
+                                     interleaved=rotary_interleaved)
+
+    kc = np.asarray(k_cache, np.float32).copy()
+    vc = np.asarray(v_cache, np.float32).copy()
+    if k_new is not None:
+        kn = np.asarray(k_new, np.float32)
+        vn = np.asarray(v_new, np.float32)
+        for b in range(B):
+            s0 = lp[b] + cs[b]
+            kc[bidx[b], s0:s0 + T_new] = kn[b]
+            vc[bidx[b], s0:s0 + T_new] = vn[b]
+
+    total = cs + (T_new if k_new is not None else 0)
+    wl, wr = window_size
+    if causal:
+        wr = 0
+    outs, lses = [], []
+    for b in range(B):
+        kb = kc[bidx[b], lp[b]:lp[b] + total[b]][None]  # (1, n, Hk, D)
+        vb = vc[bidx[b], lp[b]:lp[b] + total[b]][None]
+        slopes_b = None
+        if alibi_slopes is not None:
+            sl = jnp.asarray(alibi_slopes)
+            slopes_b = sl if sl.ndim == 1 else sl[b]
+        o_b, lse_b = mha_reference(
+            q[b:b + 1].astype(jnp.float32) if upcast else q[b:b + 1],
+            jnp.asarray(kb, jnp.float32 if upcast else q.dtype),
+            jnp.asarray(vb, jnp.float32 if upcast else q.dtype),
+            softmax_scale=softmax_scale, causal=bool(causal and T_new > 1),
+            window_size=(wl, wr), softcap=softcap, alibi_slopes=slopes_b,
+            upcast=upcast, return_lse=True,
+        )
+        outs.append(o_b[0].astype(q.dtype))
+        lses.append(lse_b[0])
+    out = jnp.stack(outs)
+    kc_j, vc_j = jnp.asarray(kc, k_cache.dtype), jnp.asarray(vc, v_cache.dtype)
+    if return_lse:
+        return out, kc_j, vc_j, jnp.stack(lses)
+    return out, kc_j, vc_j

@@ -1,0 +1,51 @@
+"""Wall-clock measurement utilities.
+
+The reference times with CUDA events, median of 10 (reference:
+test.py:87-100).  On this TPU setup dispatch is asynchronous and
+`block_until_ready` on an individual result does not reliably fence a single
+call (remote-tunnel dispatch), so the robust recipe is *queue-and-delta*:
+enqueue M calls back-to-back, fetch the last result, and difference two queue
+depths — fixed dispatch overhead cancels.
+
+Validated against the MXU roofline: an 8192^3 bf16 matmul measures
+~189 TFLOP/s on v5e (peak ~197)."""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+
+
+def measure(fn: Callable, *args, iters: int = 32, warmup: int = 2) -> float:
+    """Median-free queue-delta timing: seconds per call of jitted `fn`."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+
+    def timed(m):
+        t0 = time.perf_counter()
+        res = None
+        for _ in range(m):
+            res = fn(*args)
+        jax.block_until_ready(res)
+        return time.perf_counter() - t0
+
+    t_small = timed(warmup)
+    t_big = timed(warmup + iters)
+    return max((t_big - t_small) / iters, 1e-9)
+
+
+def tflops(flops: int, seconds: float) -> float:
+    return flops / seconds / 1e12
+
+
+def gbps(nbytes: int, seconds: float) -> float:
+    return nbytes / seconds / 1e9
+
+
+def attention_flops(B, M, N, Hq, D, causal=False) -> int:
+    """Matmul FLOPs of one attention forward (QK^T + PV), the standard
+    4*B*H*M*N*D convention; causal halves it."""
+    f = 4 * B * Hq * M * N * D
+    return f // 2 if causal else f
