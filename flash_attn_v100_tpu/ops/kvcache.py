@@ -70,9 +70,16 @@ def flash_attn_with_kvcache(
     num_splits: int = 0,
     return_softmax_lse: bool = False,
     *,
+    k_scales: Optional[jnp.ndarray] = None,
+    v_scales: Optional[jnp.ndarray] = None,
     kv_cache_layout: str = "NHD",
     interpret: Optional[bool] = None,
 ):
+    """See module docstring.  `k_scales`/`v_scales` (same layout as the
+    caches, head_dim axis collapsed to 1) mark the caches as INT8/FP8
+    quantized; appended k/v are quantized on the fly and the kernel
+    dequantizes in-tile (ops/quant.py).  Returns updated scales inside the
+    cache tuple: (k_cache, v_cache, k_scales, v_scales)."""
     B, T_new, Hq, D_og = q.shape
     paged = block_table is not None
     if paged and cache_batch_idx is not None:
@@ -83,6 +90,11 @@ def flash_attn_with_kvcache(
                          "(reference: kernel/fused_mha_forward_kvcache.cu:556)")
     if (k is None) != (v is None):
         raise ValueError("k and v must be given together")
+    quantized = k_scales is not None
+    if quantized and (v_scales is None):
+        raise ValueError("k_scales and v_scales must be given together")
+    if quantized and k_cache.dtype not in (jnp.int8, jnp.float8_e4m3fn):
+        raise ValueError("scales given but cache dtype is not int8/fp8")
     if softmax_scale is None:
         softmax_scale = D_og ** -0.5
 
@@ -96,10 +108,21 @@ def flash_attn_with_kvcache(
             # (Bc, N, Hk, D) -> (Bc, Hk, N, D)
             kc = jnp.swapaxes(k_cache, 1, 2)
             vc = jnp.swapaxes(v_cache, 1, 2)
+        if quantized:
+            if paged:
+                ksc = jnp.transpose(k_scales, (2, 0, 1, 3))
+                vsc = jnp.transpose(v_scales, (2, 0, 1, 3))
+            else:
+                ksc = jnp.swapaxes(k_scales, 1, 2)
+                vsc = jnp.swapaxes(v_scales, 1, 2)
     elif kv_cache_layout == "HND":
         kc, vc = k_cache, v_cache
+        if quantized:
+            ksc, vsc = k_scales, v_scales
     else:
         raise ValueError(f"unknown kv_cache_layout {kv_cache_layout!r}")
+    if not quantized:
+        ksc = vsc = None
 
     if paged:
         Hk, P, page_size, D = kc.shape
@@ -138,6 +161,11 @@ def flash_attn_with_kvcache(
 
     # ---- append new k/v (functional; in-place under donation) ----
     appended = k is not None
+    if appended and quantized:
+        from flash_attn_v100_tpu.ops.quant import quantize_kv
+        # quantize after rotary, per (token, head)
+        k_q, k_s = quantize_kv(k, kc.dtype)
+        v_q, v_s = quantize_kv(v, vc.dtype)
     if appended:
         pos = cache_seqlens[:, None] + jnp.arange(T_new, dtype=jnp.int32)  # (B,T)
         if paged:
@@ -145,31 +173,50 @@ def flash_attn_with_kvcache(
                                            pos // page_size, axis=1)  # (B,T)
             off = pos % page_size
             h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, None, :]
-            kc = kc.at[h_ix, page_ids[..., None], off[..., None]].set(
-                k.astype(kc.dtype))
-            vc = vc.at[h_ix, page_ids[..., None], off[..., None]].set(
-                v.astype(vc.dtype))
+            if quantized:
+                kc = kc.at[h_ix, page_ids[..., None], off[..., None]].set(k_q)
+                vc = vc.at[h_ix, page_ids[..., None], off[..., None]].set(v_q)
+                ksc = ksc.at[h_ix, page_ids[..., None], off[..., None]].set(k_s)
+                vsc = vsc.at[h_ix, page_ids[..., None], off[..., None]].set(v_s)
+            else:
+                kc = kc.at[h_ix, page_ids[..., None], off[..., None]].set(
+                    k.astype(kc.dtype))
+                vc = vc.at[h_ix, page_ids[..., None], off[..., None]].set(
+                    v.astype(vc.dtype))
         else:
             rows = pos + leftpad[:, None]
-            kt_new = jnp.swapaxes(k, 1, 2)  # (B, Hk, T, D)
-            vt_new = jnp.swapaxes(v, 1, 2)
             b_ix = bidx[:, None, None]
             h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, :, None]
-            kc = kc.at[b_ix, h_ix, rows[:, None, :]].set(kt_new.astype(kc.dtype))
-            vc = vc.at[b_ix, h_ix, rows[:, None, :]].set(vt_new.astype(vc.dtype))
+            if quantized:
+                kc = kc.at[b_ix, h_ix, rows[:, None, :]].set(jnp.swapaxes(k_q, 1, 2))
+                vc = vc.at[b_ix, h_ix, rows[:, None, :]].set(jnp.swapaxes(v_q, 1, 2))
+                ksc = ksc.at[b_ix, h_ix, rows[:, None, :]].set(jnp.swapaxes(k_s, 1, 2))
+                vsc = vsc.at[b_ix, h_ix, rows[:, None, :]].set(jnp.swapaxes(v_s, 1, 2))
+            else:
+                kt_new = jnp.swapaxes(k, 1, 2)  # (B, Hk, T, D)
+                vt_new = jnp.swapaxes(v, 1, 2)
+                kc = kc.at[b_ix, h_ix, rows[:, None, :]].set(kt_new.astype(kc.dtype))
+                vc = vc.at[b_ix, h_ix, rows[:, None, :]].set(vt_new.astype(vc.dtype))
 
     lens_total = cache_seqlens + (T_new if appended else 0)
 
     # ---- page pool view + table ----
+    pool_ks = pool_vs = None
     if paged:
         pool_k = kc[None]                       # (1, Hk, P, ps, D)
         pool_v = vc[None]
+        if quantized:
+            pool_ks = ksc[None]
+            pool_vs = vsc[None]
         tbl = block_table.astype(jnp.int32)
         C2 = P
     else:
         nb = N // page_size
         pool_k = kc.reshape(Bc, Hk, nb, page_size, D)
         pool_v = vc.reshape(Bc, Hk, nb, page_size, D)
+        if quantized:
+            pool_ks = ksc.reshape(Bc, Hk, nb, page_size, 1)
+            pool_vs = vsc.reshape(Bc, Hk, nb, page_size, 1)
         max_pages = cdiv(N, page_size)
         tbl = (bidx[:, None] * nb
                + jnp.arange(max_pages, dtype=jnp.int32)[None, :])
@@ -187,7 +234,8 @@ def flash_attn_with_kvcache(
     # fp16 caches can't be read by Mosaic (no f16 on TPU): cast the pool to
     # the kernel dtype.  This copies the cache — allocate bf16 caches on TPU
     # (flash_attn_v100_tpu.cache does) to stay zero-copy.
-    if pool_k.dtype != kdt and pool_k.dtype in (jnp.float16, jnp.bfloat16, jnp.float32):
+    if not quantized and pool_k.dtype != kdt and pool_k.dtype in (
+            jnp.float16, jnp.bfloat16, jnp.float32):
         pool_k = pool_k.astype(kdt)
         pool_v = pool_v.astype(kdt)
 
@@ -219,7 +267,8 @@ def flash_attn_with_kvcache(
         q_rows, pool_k, pool_v, tbl, lens_total, leftpad,
         softmax_scale=float(softmax_scale), params=params,
         t_new=T_new, group=group, num_splits=num_splits,
-        alibi_slopes_rows=slopes_rows, interpret=interpret,
+        alibi_slopes_rows=slopes_rows,
+        k_scales=pool_ks, v_scales=pool_vs, interpret=interpret,
     )
     o, lse = merge_partials(o_part, lse_part)   # (B, Hk, Rq, D), (B, Hk, Rq, 1)
 
@@ -235,8 +284,14 @@ def flash_attn_with_kvcache(
             if paged:
                 kc = jnp.transpose(kc, (1, 2, 0, 3))
                 vc = jnp.transpose(vc, (1, 2, 0, 3))
+                if quantized:
+                    ksc = jnp.transpose(ksc, (1, 2, 0, 3))
+                    vsc = jnp.transpose(vsc, (1, 2, 0, 3))
             else:
                 kc = jnp.swapaxes(kc, 1, 2)
                 vc = jnp.swapaxes(vc, 1, 2)
-        results.append((kc, vc))
+                if quantized:
+                    ksc = jnp.swapaxes(ksc, 1, 2)
+                    vsc = jnp.swapaxes(vsc, 1, 2)
+        results.append((kc, vc, ksc, vsc) if quantized else (kc, vc))
     return results[0] if len(results) == 1 else tuple(results)

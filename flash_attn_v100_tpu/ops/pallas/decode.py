@@ -98,10 +98,14 @@ def _decode_kernel(
         q = q_ref[0, 0]                # (rq, D)
         k = k_ref[0, 0, 0]             # (page_size, D)
         if quantized:
-            k = k.astype(jnp.float32) * ks_ref[0, 0, 0].astype(jnp.float32)
+            # dequantize AFTER the matmul: S[:, j] *= k_scale[j] touches
+            # (rq, ps) elements instead of scaling the (ps, D) K tile —
+            # ~D/1 less VPU work per streamed byte
             k = k.astype(q.dtype)
         st = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # (rq, ps)
+        if quantized:
+            st = st * ks_ref[0, 0, 0].astype(jnp.float32)  # (1, ps) row
 
         # logical kv position of each column (0 = first live cache row)
         jl = (jax.lax.broadcasted_iota(jnp.int32, (rq, page_size), 1)
@@ -139,8 +143,9 @@ def _decode_kernel(
 
         v = v_ref[0, 0, 0]
         if quantized:
-            v = v.astype(jnp.float32) * vs_ref[0, 0, 0].astype(jnp.float32)
+            # fold V's dequant scales into P's columns (rq x ps work)
             v = v.astype(q.dtype)
+            p = p * vs_ref[0, 0, 0].astype(jnp.float32)  # (1, ps) row
         pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
@@ -223,13 +228,16 @@ def paged_decode_attention(
     in_specs.append(pl.BlockSpec((1, 1, 1, page_size, D), kmap))
     inputs.append(k_pages)
     if quantized:
-        in_specs.append(pl.BlockSpec((1, 1, 1, page_size, 1), kmap))
-        inputs.append(k_scales)
+        # scales fed as (..., 1, ps) row vectors: the kernel multiplies the
+        # (rq, ps) score/P tiles by them directly — a (ps,1)->(1,ps)
+        # relayout inside the kernel would dominate the whole tile cost
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1, page_size), kmap))
+        inputs.append(k_scales.reshape(k_scales.shape[:3] + (1, page_size)))
     in_specs.append(pl.BlockSpec((1, 1, 1, page_size, D), kmap))
     inputs.append(v_pages)
     if quantized:
-        in_specs.append(pl.BlockSpec((1, 1, 1, page_size, 1), kmap))
-        inputs.append(v_scales)
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1, page_size), kmap))
+        inputs.append(v_scales.reshape(v_scales.shape[:3] + (1, page_size)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

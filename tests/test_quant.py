@@ -1,0 +1,104 @@
+"""INT8/FP8 quantized KV cache: numerics gate <= 0.1 max-abs-err vs the fp16
+oracle (the BASELINE.json acceptance bound)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from flash_attn_v100_tpu import flash_attn_with_kvcache
+from flash_attn_v100_tpu.ops.quant import quantize_kv, dequantize_kv
+from flash_attn_v100_tpu.ops.reference import mha_reference_kvcache
+from flash_attn_v100_tpu.utils.testing import max_abs_err, assert_no_nan_inf
+
+
+def mk(rng, *shape, dtype=jnp.float16):
+    return jnp.asarray(rng.standard_normal(shape), dtype)
+
+
+@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn])
+def test_quantize_roundtrip(rng, qdtype):
+    x = mk(rng, 4, 64, 2, 64, dtype=jnp.float32)
+    q, s = quantize_kv(x, qdtype)
+    assert q.dtype == qdtype and s.shape == (4, 64, 2, 1)
+    back = dequantize_kv(q, s, jnp.float32)
+    err = max_abs_err(back, x)
+    # per-token scales: int8 rel err ~ amax/254; e4m3 ~ amax/16 (3 mantissa bits)
+    bound = float(jnp.max(jnp.abs(x))) / (60 if qdtype == jnp.int8 else 12)
+    assert err < bound, (err, bound)
+
+
+@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn])
+def test_quantized_decode(rng, qdtype):
+    B, T, Hq, Hk, D, N = 2, 1, 4, 2, 64, 256
+    q = mk(rng, B, T, Hq, D)
+    kc_f, vc_f = mk(rng, B, N, Hk, D), mk(rng, B, N, Hk, D)
+    kq, ks = quantize_kv(kc_f, qdtype)
+    vq, vs = quantize_kv(vc_f, qdtype)
+    cs = jnp.asarray([200, 117], jnp.int32)
+    out = flash_attn_with_kvcache(q, kq, vq, cache_seqlens=cs, causal=True,
+                                  k_scales=ks, v_scales=vs)
+    ref = mha_reference_kvcache(q, kc_f, vc_f, cache_seqlens=cs, causal=True,
+                                upcast=True)[0]
+    assert_no_nan_inf(out)
+    err = max_abs_err(out, ref)
+    assert err <= 0.1, f"{qdtype} decode err {err} > 0.1 BASELINE gate"
+
+
+def test_quantized_decode_append(rng):
+    B, T, Hq, Hk, D, N = 2, 1, 2, 2, 64, 128
+    q = mk(rng, B, T, Hq, D)
+    kc_f, vc_f = mk(rng, B, N, Hk, D), mk(rng, B, N, Hk, D)
+    kq, ks = quantize_kv(kc_f, jnp.int8)
+    vq, vs = quantize_kv(vc_f, jnp.int8)
+    kn, vn = mk(rng, B, T, Hk, D), mk(rng, B, T, Hk, D)
+    cs = jnp.asarray([64, 100], jnp.int32)
+    out, (kq2, vq2, ks2, vs2) = flash_attn_with_kvcache(
+        q, kq, vq, k=kn, v=vn, cache_seqlens=cs, causal=True,
+        k_scales=ks, v_scales=vs)
+    ref = mha_reference_kvcache(q, kc_f, vc_f, k_new=kn, v_new=vn,
+                                cache_seqlens=cs, causal=True, upcast=True)[0]
+    err = max_abs_err(out, ref)
+    assert err <= 0.1, err
+    # appended rows must round-trip through quantization
+    for b in range(B):
+        row = dequantize_kv(kq2[b, int(cs[b])], ks2[b, int(cs[b])], jnp.float32)
+        err_row = max_abs_err(row, kn[b, 0])
+        assert err_row < 0.1, err_row
+
+
+def test_quantized_paged_decode(rng):
+    B, T, Hq, Hk, D = 2, 1, 2, 2, 64
+    ps, P = 64, 8
+    q = mk(rng, B, T, Hq, D)
+    pool_f_k, pool_f_v = mk(rng, P, ps, Hk, D), mk(rng, P, ps, Hk, D)
+    kq, ks = quantize_kv(pool_f_k, jnp.int8)
+    vq, vs = quantize_kv(pool_f_v, jnp.int8)
+    table = jnp.asarray([[3, 0, 5], [1, 7, 2]], jnp.int32)
+    cs = jnp.asarray([150, 90], jnp.int32)
+    out = flash_attn_with_kvcache(q, kq, vq, cache_seqlens=cs,
+                                  block_table=table, causal=True,
+                                  k_scales=ks, v_scales=vs)
+    # fp oracle from materialized pages
+    kmat = np.zeros((B, ps * 3, Hk, D), np.float32)
+    vmat = np.zeros_like(kmat)
+    for b in range(B):
+        for i in range(3):
+            kmat[b, i * ps:(i + 1) * ps] = np.asarray(pool_f_k[table[b, i]], np.float32)
+            vmat[b, i * ps:(i + 1) * ps] = np.asarray(pool_f_v[table[b, i]], np.float32)
+    ref = mha_reference_kvcache(q, jnp.asarray(kmat, q.dtype),
+                                jnp.asarray(vmat, q.dtype),
+                                cache_seqlens=cs, causal=True, upcast=True)[0]
+    err = max_abs_err(out, ref)
+    assert err <= 0.1, err
+
+
+def test_quant_errors(rng):
+    q = mk(rng, 1, 1, 2, 32)
+    kc = mk(rng, 1, 64, 2, 32)
+    with pytest.raises(ValueError):
+        flash_attn_with_kvcache(q, kc, kc, k_scales=jnp.ones((1, 64, 2, 1)),
+                                v_scales=jnp.ones((1, 64, 2, 1)))
+    kq, ks = quantize_kv(kc, jnp.int8)
+    with pytest.raises(ValueError):
+        flash_attn_with_kvcache(q, kq, kq, k_scales=ks)  # missing v_scales
