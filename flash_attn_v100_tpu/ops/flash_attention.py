@@ -64,12 +64,12 @@ def _core_fwd(cfg, q, k, v, alibi_slopes, seed):
 
 
 def _core_bwd(cfg, res, cotangents):
-    dout, _dlse = cotangents  # lse cotangent is not supported (reference parity)
+    dout, dlse = cotangents
     q, k, v, out, lse, alibi_slopes, seed = res
     dq, dk, dv = flash_attn_dense_bwd(
         q, k, v, out, dout, lse, cfg.softmax_scale, cfg.params,
         alibi_slopes=alibi_slopes, dropout_p=cfg.dropout_p, dropout_seed=seed,
-        block_sizes=cfg.block_sizes, interpret=cfg.interpret,
+        block_sizes=cfg.block_sizes, interpret=cfg.interpret, dlse=dlse,
     )
     dslopes = None if alibi_slopes is None else jnp.zeros_like(alibi_slopes)
     dseed = None if seed is None else jnp.zeros(seed.shape, jax.dtypes.float0)

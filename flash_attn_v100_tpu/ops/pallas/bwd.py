@@ -266,8 +266,14 @@ def flash_attn_dense_bwd(
     dropout_seed: Optional[jnp.ndarray] = None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
+    dlse: Optional[jnp.ndarray] = None,  # (B, Hq, M) cotangent of lse
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (dq, dk, dv) in the input layouts/dtypes."""
+    """Returns (dq, dk, dv) in the input layouts/dtypes.
+
+    The lse cotangent folds into the score gradient as dS += P * dlse, i.e.
+    delta' = delta - dlse (since dS = P_drop*dOV - P*delta): composed losses
+    that consume lse directly (ring attention's merge, distillation on lse)
+    differentiate exactly."""
     B, M, Hq, D = q.shape
     N, Hk = k.shape[1], k.shape[2]
     group = Hq // Hk
@@ -284,6 +290,8 @@ def flash_attn_dense_bwd(
     # in-kernel at kernel/fused_mha_backward.cu:160-162).
     delta = jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32), axis=-1)
     delta = jnp.swapaxes(delta, 1, 2)  # (B, Hq, M)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
 
     # lse may contain -inf for fully-masked rows; keep arithmetic finite.
     lse_safe = jnp.maximum(lse, NEG_INF)

@@ -436,6 +436,7 @@ def flash_attn_varlen_bwd(
     leftpad_k=None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
+    dlse: Optional[jnp.ndarray] = None,  # (Hq, Tq)
 ):
     Tq, Hq, D = q.shape
     Tk, Hk = k.shape[0], k.shape[1]
@@ -446,6 +447,8 @@ def flash_attn_varlen_bwd(
 
     delta = jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32), axis=-1)
     delta = delta.T  # (Hq, Tq)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
     lse_safe = jnp.maximum(lse, NEG_INF)
 
     def run_pass(bq, bk, which):

@@ -64,14 +64,14 @@ def _varlen_fwd_rule(cfg, q, k, v, cu_q, cu_k, seqused_k, leftpad_k, slopes, see
 
 
 def _varlen_bwd_rule(cfg, res, cts):
-    dout, _ = cts
+    dout, dlse = cts
     q, k, v, out, lse, cu_q, cu_k, seqused_k, leftpad_k, slopes, seed = res
     dq, dk, dv = flash_attn_varlen_bwd(
         q, k, v, out, dout, lse, cu_q, cu_k,
         cfg.max_seqlen_q, cfg.max_seqlen_k, cfg.softmax_scale, cfg.params,
         alibi_slopes=slopes, dropout_p=cfg.dropout_p, dropout_seed=seed,
         seqused_k=seqused_k, leftpad_k=leftpad_k,
-        block_sizes=cfg.block_sizes, interpret=cfg.interpret,
+        block_sizes=cfg.block_sizes, interpret=cfg.interpret, dlse=dlse,
     )
 
     def f0(x):
