@@ -50,6 +50,60 @@ def _merge_pair(o_a, lse_a, o_b, lse_b):
     return o, lse
 
 
+def ring_attention_local(
+    q: jnp.ndarray,  # per-chip chunk (B, m, H_local, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    axis_name: str,
+    axis_size: int,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """The ring loop, for use *inside* an existing shard_map (e.g. a model's
+    SPMD train step where the sequence axis is already sharded)."""
+    from flash_attn_v100_tpu.ops.flash_attention import flash_attn_func
+
+    n = axis_size
+    my = jax.lax.axis_index(axis_name)
+    scale = q.shape[-1] ** -0.5 if softmax_scale is None else softmax_scale
+
+    o_acc = jnp.zeros(q.shape[:3] + (v.shape[-1],), jnp.float32)
+    lse_acc = jnp.full(q.shape[:3] + (1,), -jnp.inf, jnp.float32)
+    k_blk, v_blk = k, v
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    for step in range(n):
+        # chunk in front of us came from chip (my - step) % n, so the
+        # causal-diagonal pair happens exactly at step == 0 (static!);
+        # at step > 0 the chunk is in the past iff my >= step.
+        def chunk_attend(causal_local, kb, vb):
+            out, lse = flash_attn_func(
+                q, kb, vb, softmax_scale=scale, causal=causal_local,
+                return_attn_probs=True, interpret=interpret,
+            )[:2]
+            lse = jnp.transpose(lse, (0, 2, 1))[..., None]  # (B, m, H, 1)
+            return out.astype(jnp.float32), lse
+
+        if causal and step == 0:
+            o_new, lse_new = chunk_attend(True, k_blk, v_blk)
+        else:
+            o_new, lse_new = chunk_attend(False, k_blk, v_blk)
+            if causal:
+                keep = my >= step  # scalar, traced
+                lse_new = jnp.where(keep, lse_new, -jnp.inf)
+                o_new = jnp.where(keep, o_new, 0.0)
+
+        o_acc, lse_acc = _merge_pair(o_acc, lse_acc, o_new, lse_new)
+
+        if step < n - 1:
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+
+    return o_acc.astype(q.dtype)
+
+
 def ring_attention(
     q: jnp.ndarray,  # (B, M, Hq, D) — M is the *global* seq len; sharded on axis
     k: jnp.ndarray,
@@ -70,55 +124,20 @@ def ring_attention(
     Extra flash kwargs (softcap, window_size intra-chunk, ...) are not yet
     supported here — use the dense op for single-chip features.
     """
-    from flash_attn_v100_tpu.ops.flash_attention import flash_attn_func
-
     if flash_kwargs:
         raise NotImplementedError(
             f"ring_attention does not support {sorted(flash_kwargs)} yet")
     n = mesh.shape[axis_name]
+    if q.shape[1] % n or k.shape[1] % n:
+        raise ValueError(
+            f"ring_attention needs seq len divisible by the '{axis_name}' "
+            f"axis ({n}); got q {q.shape[1]}, kv {k.shape[1]} — pad the "
+            f"sequence (zero padding is safe under causal=True)")
 
     def local(q, k, v):
-        # q, k, v: per-chip chunks (B, m, H_local, D)
-        my = jax.lax.axis_index(axis_name)
-        m_chunk = q.shape[1]
-        if softmax_scale is None:
-            scale = q.shape[-1] ** -0.5
-        else:
-            scale = softmax_scale
-
-        o_acc = jnp.zeros(q.shape[:3] + (v.shape[-1],), jnp.float32)
-        lse_acc = jnp.full(q.shape[:3] + (1,), -jnp.inf, jnp.float32)
-        k_blk, v_blk = k, v
-
-        perm = [(i, (i + 1) % n) for i in range(n)]
-        for step in range(n):
-            # chunk in front of us came from chip (my - step) % n, so the
-            # causal-diagonal pair happens exactly at step == 0 (static!);
-            # at step > 0 the chunk is in the past iff my >= step.
-            def chunk_attend(causal_local, kb, vb):
-                out, lse = flash_attn_func(
-                    q, kb, vb, softmax_scale=scale, causal=causal_local,
-                    return_attn_probs=True, interpret=interpret,
-                )[:2]
-                lse = jnp.transpose(lse, (0, 2, 1))[..., None]  # (B, m, H, 1)
-                return out.astype(jnp.float32), lse
-
-            if causal and step == 0:
-                o_new, lse_new = chunk_attend(True, k_blk, v_blk)
-            else:
-                o_new, lse_new = chunk_attend(False, k_blk, v_blk)
-                if causal:
-                    keep = my >= step  # scalar, traced
-                    lse_new = jnp.where(keep, lse_new, -jnp.inf)
-                    o_new = jnp.where(keep, o_new, 0.0)
-
-            o_acc, lse_acc = _merge_pair(o_acc, lse_acc, o_new, lse_new)
-
-            if step < n - 1:
-                k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
-                v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-
-        return o_acc.astype(q.dtype)
+        return ring_attention_local(
+            q, k, v, axis_name=axis_name, axis_size=n, causal=causal,
+            softmax_scale=softmax_scale, interpret=interpret)
 
     return shard_map(
         local, mesh=mesh,

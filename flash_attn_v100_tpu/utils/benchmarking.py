@@ -18,17 +18,27 @@ from typing import Callable
 import jax
 
 
+def _fence(res) -> None:
+    """Hard fence: fetch one scalar *derived from* the result to host.  On
+    the remote-tunnel backend `block_until_ready` sometimes returns before
+    execution; a host fetch of a dependent scalar cannot."""
+    leaf = jax.tree_util.tree_leaves(res)[0]
+    scalar = leaf[(0,) * leaf.ndim] if leaf.ndim else leaf
+    jax.device_get(scalar)
+
+
 def measure(fn: Callable, *args, iters: int = 32, warmup: int = 2) -> float:
-    """Median-free queue-delta timing: seconds per call of jitted `fn`."""
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Queue-delta timing: seconds per call of jitted `fn`.  Enqueues M calls
+    back-to-back and differences two queue depths so fixed dispatch overhead
+    cancels."""
+    _fence(fn(*args))
 
     def timed(m):
         t0 = time.perf_counter()
         res = None
         for _ in range(m):
             res = fn(*args)
-        jax.block_until_ready(res)
+        _fence(res)
         return time.perf_counter() - t0
 
     t_small = timed(warmup)
