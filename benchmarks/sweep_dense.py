@@ -1,0 +1,128 @@
+"""Hardware oracle sweep — the TPU analog of the reference's `test.py`.
+
+Runs the dense shape matrix (reference: test.py:115-139) forward+backward on
+the real chip, gates errors with the reference's relative tolerance model
+(fwd <= 2*err_native + 1e-5, bwd <= 3*err_native + 1e-4 per gradient,
+test.py:277,331-334), and reports median wall-clock + speedup vs the XLA
+einsum oracle (the reference reports the same relative speedup vs torch
+einsum, test.py:359-372).
+
+Usage: python benchmarks/sweep_dense.py [--quick] [--dtype bf16|fp16]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flash_attn_v100_tpu import flash_attn_func
+from flash_attn_v100_tpu.ops.reference import mha_reference
+from flash_attn_v100_tpu.utils.benchmarking import (
+    measure, attention_flops, tflops)
+
+# the reference's dense matrix (test.py:115-139): tiny squares exercising each
+# head-dim config, then long-sequence sweeps
+SHAPES = [
+    # B, Hq, M, N, D
+    (1, 1, 16, 16, 16), (1, 1, 32, 32, 32), (1, 1, 64, 64, 64),
+    (1, 1, 128, 128, 128), (1, 1, 256, 256, 256),
+    (4, 16, 1024, 1024, 16), (4, 16, 1024, 1024, 32),
+    (4, 16, 1024, 1024, 64), (4, 16, 1024, 1024, 128),
+    (2, 16, 2048, 2048, 64), (2, 16, 2048, 2048, 128),
+    (1, 32, 4096, 4096, 64), (1, 32, 4096, 4096, 128),
+    (1, 16, 8192, 8192, 64), (1, 16, 8192, 8192, 128),
+    (1, 32, 8192, 8192, 256),
+]
+QUICK = SHAPES[:5] + [(4, 16, 1024, 1024, 64), (1, 32, 4096, 4096, 128)]
+
+
+def run_case(rng, B, Hq, M, N, D, causal, dtype, do_bwd=True, do_time=True):
+    q = jnp.asarray(rng.standard_normal((B, M, Hq, D)), dtype)
+    k = jnp.asarray(rng.standard_normal((B, N, Hq, D)), dtype)
+    v = jnp.asarray(rng.standard_normal((B, N, Hq, D)), dtype)
+
+    f = jax.jit(lambda q, k, v: flash_attn_func(q, k, v, causal=causal))
+    out = f(q, k, v)
+    ref32 = mha_reference(q, k, v, causal=causal, upcast=True)
+    refnat = mha_reference(q, k, v, causal=causal, upcast=False)
+    e = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref32.astype(jnp.float32))))
+    e_nat = float(jnp.max(jnp.abs(refnat.astype(jnp.float32) - ref32.astype(jnp.float32))))
+    fwd_ok = e <= 2 * e_nat + 1e-5
+    row = dict(fwd_err=e, fwd_err_native=e_nat, fwd_ok=fwd_ok)
+
+    if do_bwd:
+        do = jnp.asarray(rng.standard_normal(out.shape), dtype)
+        grad = jax.jit(jax.grad(
+            lambda q, k, v: (flash_attn_func(q, k, v, causal=causal) * do)
+            .astype(jnp.float32).sum(), argnums=(0, 1, 2)))
+        gs = grad(q, k, v)
+        gref = jax.grad(
+            lambda q, k, v, up: (mha_reference(q, k, v, causal=causal, upcast=up)
+                                 * do).astype(jnp.float32).sum(), argnums=(0, 1, 2))
+        g32 = gref(q, k, v, True)
+        gnat = gref(q, k, v, False)
+        bwd_ok = True
+        for g, r32, rn, nm in zip(gs, g32, gnat, ("dq", "dk", "dv")):
+            ge = float(jnp.max(jnp.abs(g.astype(jnp.float32) - r32.astype(jnp.float32))))
+            gn = float(jnp.max(jnp.abs(rn.astype(jnp.float32) - r32.astype(jnp.float32))))
+            row[f"{nm}_err"] = ge
+            bwd_ok &= ge <= 3 * gn + 1e-4
+        row["bwd_ok"] = bwd_ok
+
+    if do_time:
+        dt = measure(f, q, k, v, iters=8)
+        row["fwd_ms"] = dt * 1e3
+        row["fwd_tflops"] = tflops(attention_flops(B, M, N, Hq, D, causal), dt)
+        if M * N <= 4096 * 4096:    # einsum oracle OOMs beyond (ref: test.py:209)
+            g = jax.jit(lambda q, k, v: mha_reference(q, k, v, causal=causal,
+                                                      upcast=False))
+            row["speedup_vs_einsum"] = measure(g, q, k, v, iters=4) / dt
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp16", "fp32"])
+    ap.add_argument("--no-bwd", action="store_true")
+    args = ap.parse_args()
+    dtype = dict(bf16=jnp.bfloat16, fp16=jnp.float16, fp32=jnp.float32)[args.dtype]
+    shapes = QUICK if args.quick else SHAPES
+    rng = np.random.default_rng(421)    # the reference's seed (test.py:151)
+
+    print(f"backend={jax.default_backend()} dtype={args.dtype}")
+    n_fail = 0
+    for (B, Hq, M, N, D) in shapes:
+        for causal in (False, True):
+            t0 = time.time()
+            try:
+                # backward on the biggest shapes is slow to compile; skip like
+                # the reference degrades OOM cases (test.py:209-214)
+                do_bwd = not args.no_bwd and M <= 4096
+                r = run_case(rng, B, Hq, M, N, D, causal, dtype, do_bwd=do_bwd)
+            except Exception as ex:  # noqa: BLE001
+                print(f"  {B}x{Hq}x{M}x{N}x{D} causal={causal}: ERROR {ex}")
+                n_fail += 1
+                continue
+            ok = r["fwd_ok"] and r.get("bwd_ok", True)
+            n_fail += 0 if ok else 1
+            spd = r.get("speedup_vs_einsum")
+            print(f"  {B}x{Hq}x{M}x{N}x{D} causal={int(causal)}: "
+                  f"{'PASS' if ok else 'FAIL'} "
+                  f"fwd_err={r['fwd_err']:.2e} (native {r['fwd_err_native']:.2e}) "
+                  f"{r.get('fwd_tflops', 0):.1f} TF/s"
+                  + (f" {spd:.1f}x vs einsum" if spd else "")
+                  + f" [{time.time()-t0:.0f}s]")
+    print(f"{'ALL PASS' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,11 @@ def use_interpret() -> bool:
     return default_backend() != "tpu"
 
 
+def set_interpret(enabled: bool) -> None:
+    """Process-wide interpret-mode override (per-call `interpret=` wins)."""
+    os.environ["FLASH_ATTN_TPU_INTERPRET"] = "1" if enabled else "0"
+
+
 # Numerical constants (reference: include/kernel.h:20 uses NEG_INF = -1e30f as
 # the additive mask value; exp() is clamped at -80 in include/softmax.h:89-92).
 NEG_INF = -1e30

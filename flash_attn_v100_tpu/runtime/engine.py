@@ -1,0 +1,252 @@
+"""Continuous-batching paged serving engine.
+
+The host loop the reference's decode path points at but never ships (its
+`block_table` + stubbed `num_splits`, kernel/fused_mha_forward_kvcache.cu:462):
+requests arrive with arbitrary prompts, the native Scheduler
+(csrc/fa_runtime.cpp) packs them into a fixed-shape decode batch under a paged
+KV budget, and every running sequence advances one token per `step()`.
+
+TPU-first design decisions:
+  * ONE page pool per layer, stacked into a single (L, Hk, P, ps, D) array so
+    the whole engine state is two jit arguments (k, v), donated every step —
+    the appends stay in-place on device.
+  * Fixed shapes everywhere: the decode batch is padded to `max_batch`
+    (inactive rows point at a scratch page with length 0), prompts are padded
+    to power-of-two buckets — so there is a small, bounded set of compiled
+    programs.
+  * Prefill and decode are the SAME jitted function (prefill: T=bucket,
+    cache_seqlens=0; decode: T=1, cache_seqlens=cur_len); both run the paged
+    kvcache attention with fused rotary, causal.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attn_v100_tpu.models.transformer import (
+    ModelConfig, rmsnorm, rope_tables)
+from flash_attn_v100_tpu.ops.kvcache import flash_attn_with_kvcache
+from flash_attn_v100_tpu.runtime.scheduler import Scheduler
+
+
+def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
+                  cfg: ModelConfig, *, interpret: Optional[bool] = None):
+    """tokens (B, T) -> (logits (B, T, vocab) fp32, k_pool, v_pool).
+
+    k_pool/v_pool: (L, Hk, P, ps, D) page pools in HND layout; block_table
+    (B, max_pages).  Appends the T new tokens of every row at its
+    cache_seqlens position and runs causal paged attention with fused rotary
+    (reference flow: kernel/fused_mha_forward_kvcache.cu phases A-C)."""
+    B, T = tokens.shape
+    cos, sin = rope_tables(cfg, cfg.max_seq_len)
+    x = jnp.take(params["embed"], tokens, axis=0)
+    for li, lp in enumerate(params["layers"]):
+        h = rmsnorm(x, lp["ln1"])
+        q = (h @ lp["wq"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
+        k = (h @ lp["wk"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        v = (h @ lp["wv"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        attn, (kc, vc) = flash_attn_with_kvcache(
+            q, k_pool[li], v_pool[li], k=k, v=v,
+            rotary_cos=cos, rotary_sin=sin, cache_seqlens=cache_seqlens,
+            block_table=block_table, causal=True, rotary_interleaved=False,
+            kv_cache_layout="HND", interpret=interpret)
+        k_pool = k_pool.at[li].set(kc)
+        v_pool = v_pool.at[li].set(vc)
+        x = x + attn.reshape(B, T, -1) @ lp["wo"]
+        h2 = rmsnorm(x, lp["ln2"])
+        x = x + (jax.nn.silu(h2 @ lp["w1"]) * (h2 @ lp["w3"])) @ lp["w2"]
+    x = rmsnorm(x, params["ln_f"])
+    return (x @ params["embed"].T).astype(jnp.float32), k_pool, v_pool
+
+
+@dataclasses.dataclass
+class _Seq:
+    id: int
+    prompt: List[int]
+    max_new_tokens: int
+    generated: List[int] = dataclasses.field(default_factory=list)
+    submitted_at: float = 0.0
+    first_token_at: Optional[float] = None
+    done: bool = False
+
+
+class ServingEngine:
+    """Continuous-batching decode over one model replica.
+
+    >>> eng = ServingEngine(params, cfg, max_batch=8, num_pages=256)
+    >>> rid = eng.submit([1, 2, 3], max_new_tokens=16)
+    >>> while not eng.idle():
+    ...     finished = eng.step()
+    """
+
+    def __init__(self, params, cfg: ModelConfig, *, max_batch: int = 8,
+                 num_pages: int = 256, page_size: int = 16,
+                 greedy: bool = True, temperature: float = 1.0,
+                 rng_seed: int = 0, use_native: bool = True,
+                 interpret: Optional[bool] = None):
+        if cfg.max_seq_len % page_size:
+            raise ValueError("page_size must divide cfg.max_seq_len")
+        self.params = params
+        self.cfg = cfg
+        self.page_size = page_size
+        self.max_batch = max_batch
+        # one scratch page (id 0) backs inactive batch rows; the scheduler
+        # hands out pages 1..num_pages.
+        self.sched = Scheduler(max_batch, num_pages, page_size,
+                               use_native=use_native)
+        self.max_pages_per_seq = cfg.max_seq_len // page_size
+        pool_shape = (cfg.n_layers, cfg.n_kv_heads, num_pages + 1, page_size,
+                      cfg.head_dim)
+        self.k_pool = jnp.zeros(pool_shape, cfg.dtype)
+        self.v_pool = jnp.zeros(pool_shape, cfg.dtype)
+        self.greedy = greedy
+        self.temperature = temperature
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self._seqs: Dict[int, _Seq] = {}
+        self._next_id = 0
+        self._interpret = interpret
+        self._fwd = jax.jit(
+            functools.partial(paged_forward, cfg=cfg, interpret=interpret),
+            donate_argnums=(1, 2))
+        self.metrics = dict(steps=0, tokens_generated=0, prefill_tokens=0)
+
+    # ---- request API ----
+
+    def submit(self, prompt: List[int], max_new_tokens: int = 64) -> int:
+        if not prompt:
+            raise ValueError("empty prompt")
+        if len(prompt) + max_new_tokens > self.cfg.max_seq_len:
+            raise ValueError("prompt + max_new_tokens exceeds max_seq_len")
+        rid = self._next_id
+        self._next_id += 1
+        self._seqs[rid] = _Seq(rid, list(prompt), max_new_tokens,
+                               submitted_at=time.monotonic())
+        ok = self.sched.add(rid, len(prompt), max_new_tokens)
+        assert ok
+        return rid
+
+    def idle(self) -> bool:
+        st = self.sched.stats()
+        return st["waiting"] == 0 and st["running"] == 0
+
+    def result(self, rid: int) -> List[int]:
+        return list(self._seqs[rid].generated)
+
+    def ttft(self, rid: int) -> Optional[float]:
+        s = self._seqs[rid]
+        return None if s.first_token_at is None else (
+            s.first_token_at - s.submitted_at)
+
+    # ---- the decode loop body ----
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
+    def _block_table(self, ids: List[int]) -> np.ndarray:
+        bt = np.zeros((self.max_batch, self.max_pages_per_seq), np.int32)
+        for row, sid in enumerate(ids):
+            pages = self.sched.pages_of(sid)
+            # +1: page 0 is the scratch page; scheduler ids are 0-based
+            bt[row, :len(pages)] = np.asarray(pages, np.int32) + 1
+        return bt
+
+    def _sample(self, logits: jnp.ndarray) -> np.ndarray:
+        """logits (B, vocab) -> token ids (B,)."""
+        if self.greedy:
+            return np.asarray(jnp.argmax(logits, axis=-1))
+        self._rng, sub = jax.random.split(self._rng)
+        return np.asarray(
+            jax.random.categorical(sub, logits / self.temperature, axis=-1))
+
+    def step(self) -> List[int]:
+        """Advance every running sequence one token.  Returns ids finished
+        during this step."""
+        batch = self.sched.step()
+        if not batch:
+            return []
+        prefill = [sid for sid, pf in batch if pf]
+        decode = [sid for sid, pf in batch if not pf]
+        finished: List[int] = []
+        if prefill:
+            self._run_prefill(prefill, finished)
+        if decode:
+            self._run_decode(decode, finished)
+        self.metrics["steps"] += 1
+        for sid in finished:
+            self.sched.finish(sid)
+            self._seqs[sid].done = True
+        return finished
+
+    def run_to_completion(self, max_steps: int = 100_000) -> Dict[int, List[int]]:
+        out = {}
+        for _ in range(max_steps):
+            if self.idle():
+                break
+            for sid in self.step():
+                out[sid] = self.result(sid)
+        return out
+
+    def _run_prefill(self, ids: List[int], finished: List[int]) -> None:
+        # after preemption a sequence re-prefills prompt + already-emitted
+        # tokens in one pass (the scheduler kept its generated count)
+        seqs = [self._seqs[sid].prompt + self._seqs[sid].generated
+                for sid in ids]
+        lens = [len(s) for s in seqs]
+        # bucket to bound recompiles; cap at max_seq_len so padded append
+        # positions never walk off a full block-table row
+        T = min(self._bucket(max(lens)), self.cfg.max_seq_len)
+        toks = np.zeros((self.max_batch, T), np.int32)
+        for row, s in enumerate(seqs):
+            toks[row, :lens[row]] = s
+        cs = np.zeros((self.max_batch,), np.int32)  # append from position 0
+        logits, self.k_pool, self.v_pool = self._fwd(
+            self.params, self.k_pool, self.v_pool, jnp.asarray(toks),
+            jnp.asarray(cs), jnp.asarray(self._block_table(ids)))
+        # sample at each row's last REAL position
+        idx = jnp.asarray(np.asarray(lens, np.int32) - 1)
+        last = jnp.take_along_axis(
+            logits[:len(ids)], idx[:, None, None], axis=1)[:, 0]
+        self._emit(ids, self._sample(last), finished, first=True)
+        self.metrics["prefill_tokens"] += int(sum(lens))
+        # NOTE: rows were padded to the bucket; the garbage KV the padding
+        # appended sits at positions >= prompt_len, and the next append for
+        # this sequence starts exactly at prompt_len (cache_seqlens below),
+        # overwriting it. Padding-row queries only ever see keys <= their own
+        # position (causal), so real logits are unaffected.
+
+    def _run_decode(self, ids: List[int], finished: List[int]) -> None:
+        toks = np.zeros((self.max_batch, 1), np.int32)
+        cs = np.zeros((self.max_batch,), np.int32)
+        for row, sid in enumerate(ids):
+            s = self._seqs[sid]
+            toks[row, 0] = s.generated[-1]
+            # KV in cache covers prompt + all generated EXCEPT the last token,
+            # which is this step's input and is appended at this position
+            cs[row] = len(s.prompt) + len(s.generated) - 1
+        logits, self.k_pool, self.v_pool = self._fwd(
+            self.params, self.k_pool, self.v_pool, jnp.asarray(toks),
+            jnp.asarray(cs), jnp.asarray(self._block_table(ids)))
+        self._emit(ids, self._sample(logits[:len(ids), 0]), finished)
+
+    def _emit(self, ids: List[int], tokens: np.ndarray, finished: List[int],
+              first: bool = False) -> None:
+        now = time.monotonic()
+        for row, sid in enumerate(ids):
+            s = self._seqs[sid]
+            s.generated.append(int(tokens[row]))
+            if first and s.first_token_at is None:
+                s.first_token_at = now
+            self.metrics["tokens_generated"] += 1
+            if self.sched.advance(sid):
+                finished.append(sid)

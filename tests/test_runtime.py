@@ -1,0 +1,192 @@
+"""Serving runtime: paged allocator, continuous-batching scheduler (native C++
+vs pure-Python mirror), and the end-to-end engine vs whole-batch decode."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from flash_attn_v100_tpu.runtime import native
+from flash_attn_v100_tpu.runtime.allocator import PagedAllocator
+from flash_attn_v100_tpu.runtime.scheduler import Scheduler
+
+BACKENDS = [False] + ([True] if native.available() else [])
+
+
+def test_native_library_builds():
+    # the environment has g++; the native path must actually be exercised
+    assert native.available(), "native runtime failed to build/load"
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
+def test_allocator_basics(use_native):
+    a = PagedAllocator(8, 16, use_native=use_native)
+    assert a.is_native == use_native
+    assert a.num_free() == 8
+    p1 = a.extend(1, 3)
+    assert len(p1) == 3 and a.num_free() == 5
+    p2 = a.extend(2, 5)
+    assert len(p2) == 5 and a.num_free() == 0
+    assert not set(p1) & set(p2), "pages double-booked"
+    assert a.extend(3, 1) == []          # exhausted: all-or-nothing
+    assert a.pages_of(1) == p1
+    a.release(1)
+    assert a.num_free() == 3
+    assert a.pages_of(1) == []
+    p3 = a.extend(2, 2)                  # extend appends to existing list
+    assert a.pages_of(2) == p2 + p3
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
+def test_scheduler_fifo_admission_and_batch_cap(use_native):
+    s = Scheduler(max_batch=2, num_pages=64, page_size=16, use_native=use_native)
+    assert s.is_native == use_native
+    for i in range(4):
+        assert s.add(i, prompt_len=10, max_new_tokens=4)
+    batch = s.step()
+    assert [sid for sid, _ in batch] == [0, 1]          # FIFO, capped at 2
+    assert all(pf for _, pf in batch)                    # both need prefill
+    for sid, _ in batch:
+        s.advance(sid)
+    batch = s.step()
+    assert [(sid, pf) for sid, pf in batch] == [(0, False), (1, False)]
+    # finish 0 -> 2 admitted next step
+    for _ in range(3):
+        for sid, _ in batch:
+            if s.advance(sid):
+                s.finish(sid)
+        batch = s.step()
+    ids = [sid for sid, _ in batch]
+    assert 2 in ids and 3 in ids
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
+def test_scheduler_page_reservation_across_boundary(use_native):
+    # page_size 4, prompt 7 -> prefill reserves ceil(8/4)=2 pages; crossing a
+    # page boundary during decode must allocate a 3rd page
+    s = Scheduler(max_batch=1, num_pages=8, page_size=4, use_native=use_native)
+    s.add(7, prompt_len=7, max_new_tokens=8)
+    s.step()
+    assert len(s.pages_of(7)) == 2
+    s.advance(7)          # cur_len 8
+    s.step()              # reserve for 9 -> 3 pages
+    assert len(s.pages_of(7)) == 3
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
+def test_scheduler_preemption_keeps_generated(use_native):
+    # pool: 4 pages of 4 tokens. Two requests of prompt 6 (2 pages each, +1
+    # token fits page 2). Both run; when they both need a 3rd page there is
+    # none -> youngest (id 1) is preempted, keeps its generated count, and is
+    # re-admitted with prefill after id 0 finishes.
+    s = Scheduler(max_batch=2, num_pages=4, page_size=4, use_native=use_native)
+    s.add(0, prompt_len=6, max_new_tokens=4)
+    s.add(1, prompt_len=6, max_new_tokens=4)
+    batch = s.step()
+    assert [sid for sid, _ in batch] == [0, 1]
+    for _ in range(2):                    # cur_len 6->8: fills both pages
+        for sid, _ in s.step():
+            s.advance(sid)
+    batch = s.step()                      # needs page 3 for both: preempt 1
+    assert [sid for sid, _ in batch] == [0]
+    assert s.stats()["preemptions"] == 1
+    assert s.stats()["waiting"] == 1
+    while True:                           # run 0 to completion
+        done = False
+        for sid, _ in batch:
+            done = s.advance(sid) or done
+        if done:
+            s.finish(0)
+            break
+        batch = s.step()
+    batch = s.step()                      # 1 re-admitted, needs prefill
+    assert batch and batch[0][0] == 1 and batch[0][1] is True
+    # generated count preserved: 2 more advances finish it (4 max_new, 2 done)
+    s.advance(1)
+    assert s.advance(1)
+
+
+def test_scheduler_native_python_equivalence():
+    """Drive both backends through an identical randomized schedule."""
+    if not native.available():
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(0)
+    sn = Scheduler(max_batch=4, num_pages=16, page_size=4, use_native=True)
+    sp = Scheduler(max_batch=4, num_pages=16, page_size=4, use_native=False)
+    nid = 0
+    for it in range(60):
+        if rng.random() < 0.4 and nid < 20:
+            pl, mn = int(rng.integers(1, 12)), int(rng.integers(1, 6))
+            assert sn.add(nid, pl, mn) == sp.add(nid, pl, mn)
+            nid += 1
+        bn, bp = sn.step(), sp.step()
+        assert bn == bp, f"iter {it}: {bn} != {bp}"
+        for sid, _ in bn:
+            fn, fp = sn.advance(sid), sp.advance(sid)
+            assert fn == fp
+            if fn:
+                sn.finish(sid)
+                sp.finish(sid)
+        stn, stp = sn.stats(), sp.stats()
+        assert stn == stp, f"iter {it}: {stn} != {stp}"
+
+
+# ---- end-to-end engine ----
+
+def _make_model():
+    from flash_attn_v100_tpu.models.transformer import ModelConfig, init_params
+    cfg = ModelConfig.tiny(max_seq_len=64, vocab_size=64)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _reference_generate(params, cfg, prompt, n_new):
+    """Greedy decode with full-context dense forward (no cache)."""
+    from flash_attn_v100_tpu.models.transformer import forward
+    toks = list(prompt)
+    for _ in range(n_new):
+        logits = forward(params, jnp.asarray([toks], jnp.int32), cfg)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    return toks[len(prompt):]
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
+def test_engine_matches_uncached_greedy(use_native):
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    eng = ServingEngine(params, cfg, max_batch=4, num_pages=32, page_size=8,
+                        use_native=use_native)
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1], [9, 9, 8, 2, 6, 5, 3]]
+    rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    results = eng.run_to_completion()
+    assert set(results) == set(rids)
+    for rid, prompt in zip(rids, prompts):
+        ref = _reference_generate(params, cfg, prompt, 6)
+        assert results[rid] == ref, (
+            f"paged continuous-batching decode diverged: {results[rid]} vs {ref}")
+        assert eng.ttft(rid) is not None and eng.ttft(rid) > 0
+
+
+def test_engine_preemption_end_to_end():
+    """Tiny pool forces preemption mid-generation; outputs must still match
+    the uncached reference exactly (KV recompute correctness)."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    # 6 pages of 8 = 48 tokens of KV; three requests of ~24 tokens peak
+    eng = ServingEngine(params, cfg, max_batch=3, num_pages=6, page_size=8)
+    prompts = [[3, 1, 4, 1, 5, 9, 2, 6], [2, 7, 1, 8, 2, 8], [1, 1, 2, 3, 5, 8]]
+    rids = [eng.submit(p, max_new_tokens=10) for p in prompts]
+    results = eng.run_to_completion()
+    assert eng.sched.stats()["preemptions"] >= 1, "test did not exercise preemption"
+    for rid, prompt in zip(rids, prompts):
+        assert results[rid] == _reference_generate(params, cfg, prompt, 10)
+
+
+def test_engine_rejects_oversized():
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    eng = ServingEngine(params, cfg, max_batch=2, num_pages=16, page_size=8)
+    with pytest.raises(ValueError):
+        eng.submit(list(range(60)), max_new_tokens=10)  # 70 > max_seq_len 64
+    with pytest.raises(ValueError):
+        eng.submit([], max_new_tokens=1)
