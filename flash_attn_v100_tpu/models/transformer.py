@@ -44,6 +44,7 @@ class ModelConfig:
     ffn_dim: int = 5632
     rope_theta: float = 10000.0
     max_seq_len: int = 4096
+    norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
     dropout_p: float = 0.0
 
@@ -124,7 +125,7 @@ def forward(params, tokens, cfg: ModelConfig, *,
             x, NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS, None)))
 
     for i, lp in enumerate(params["layers"]):
-        h = rmsnorm(x, lp["ln1"])
+        h = rmsnorm(x, lp["ln1"], cfg.norm_eps)
         q = (h @ lp["wq"]).reshape(B, S, cfg.n_heads, cfg.head_dim)
         k = (h @ lp["wk"]).reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
         v = (h @ lp["wv"]).reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
@@ -133,14 +134,17 @@ def forward(params, tokens, cfg: ModelConfig, *,
         key_i = None if rng_key is None else jax.random.fold_in(rng_key, i)
         attn = _attention(q, k, v, cfg, mesh, key_i, interpret)
         x = x + attn.reshape(B, S, -1) @ lp["wo"]
-        h2 = rmsnorm(x, lp["ln2"])
+        h2 = rmsnorm(x, lp["ln2"], cfg.norm_eps)
         x = x + (jax.nn.silu(h2 @ lp["w1"]) * (h2 @ lp["w3"])) @ lp["w2"]
         if mesh is not None:
             x = jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS, None)))
 
-    x = rmsnorm(x, params["ln_f"])
-    return (x @ params["embed"].T).astype(jnp.float32)
+    x = rmsnorm(x, params["ln_f"], cfg.norm_eps)
+    # tied embeddings by default; HF checkpoints may carry a separate lm_head
+    head = params.get("lm_head", None)
+    head = params["embed"].T if head is None else head
+    return (x @ head).astype(jnp.float32)
 
 
 def loss_fn(params, tokens, cfg: ModelConfig, **kw) -> jnp.ndarray:
@@ -229,7 +233,7 @@ def decode_step(params, caches, tokens, cache_seqlens, cfg: ModelConfig, *,
     x = jnp.take(params["embed"], tokens, axis=0)
     new_caches = []
     for lp, (kc, vc) in zip(params["layers"], caches):
-        h = rmsnorm(x, lp["ln1"])
+        h = rmsnorm(x, lp["ln1"], cfg.norm_eps)
         q = (h @ lp["wq"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
         k = (h @ lp["wk"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = (h @ lp["wv"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
@@ -240,8 +244,10 @@ def decode_step(params, caches, tokens, cache_seqlens, cfg: ModelConfig, *,
             interpret=interpret)
         new_caches.append((kc, vc))
         x = x + attn.reshape(B, T, -1) @ lp["wo"]
-        h2 = rmsnorm(x, lp["ln2"])
+        h2 = rmsnorm(x, lp["ln2"], cfg.norm_eps)
         x = x + (jax.nn.silu(h2 @ lp["w1"]) * (h2 @ lp["w3"])) @ lp["w2"]
 
-    x = rmsnorm(x, params["ln_f"])
-    return (x @ params["embed"].T).astype(jnp.float32), new_caches
+    x = rmsnorm(x, params["ln_f"], cfg.norm_eps)
+    head = params.get("lm_head", None)
+    head = params["embed"].T if head is None else head
+    return (x @ head).astype(jnp.float32), new_caches

@@ -44,12 +44,16 @@ class BlockSizes:
         (reference: include/forward.h:9-23): larger D -> smaller tiles to stay
         inside the VMEM budget; tiles never exceed the (padded) sequence."""
         if base is None:
+            # fwd tiles from a v5e sweep (benchmarks/sweep_dense.py shapes,
+            # 4k causal): D64 (1024,1024) 40 TF/s, D128 (512,1024) 74 TF/s,
+            # D256 (512,512) 85 TF/s — bigger q tiles amortize the per-step
+            # VPU softmax cost that dominates at small D
             if head_dim <= 64:
-                base = BlockSizes(512, 512, 512, 256, 256, 512)
+                base = BlockSizes(1024, 1024, 512, 256, 256, 512)
             elif head_dim <= 128:
-                base = BlockSizes(256, 512, 256, 256, 256, 256)
+                base = BlockSizes(512, 1024, 256, 256, 256, 256)
             else:
-                base = BlockSizes(128, 256, 128, 256, 256, 128)
+                base = BlockSizes(512, 512, 128, 256, 256, 128)
 
         def clamp(block: int, seq: int) -> int:
             # tiles of at least one sublane group; tiny sequences get one tile

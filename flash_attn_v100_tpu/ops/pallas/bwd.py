@@ -13,14 +13,18 @@ with its own grid/tiles (they have different iteration geometry):
       :351) becomes the innermost grid axis so dK/dV accumulate in fp32 VMEM
       scratch across the whole group, one store (reference :483).
 
+Performance structure (same as fwd.py):
+  * fast/masked dual path per tile — fully-valid tiles skip the mask
+    pipeline; the masked path uses the block-local mask form;
+  * causal/window block trim via index-map clamping (skipped iterations
+    alias the previous block: no DMA) + a `run` compute predicate;
+  * P recompute runs in the exp2 domain: p = exp2(s*τ*log2e - lse*log2e)
+    with lse pre-scaled host-side (free) — one fused multiply, cheaper
+    transcendental.  All gradient math stays in the natural domain.
+
 `delta = rowsum(O * dO)` is precomputed as a fused XLA op (the reference
 computes it in-kernel, :160-162; on TPU a standalone elementwise+reduce is
 bandwidth-optimal and XLA fuses it with the dout cast).
-
-Compute layout (B, H, M, D); per-row lse/delta are fed twice with different
-lane layouts: (B, H, Mp, 1) for the dQ kernel (row vectors) and (B, H, 1, Mp)
-for the dKV kernel (column vectors) — avoids in-kernel sublane<->lane
-relayouts.
 
 Recompute strategy: S is recomputed from Q,K; only (out, lse) are saved
 residuals — same as the reference (utils/docs/attention.md:299).
@@ -39,28 +43,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flash_attn_v100_tpu.config import NEG_INF, EXP_CLAMP, use_interpret
+from flash_attn_v100_tpu.config import NEG_INF, use_interpret
 from flash_attn_v100_tpu.ops import philox
 from flash_attn_v100_tpu.ops.pallas.block_sizes import BlockSizes, cdiv, round_up
 from flash_attn_v100_tpu.ops.pallas import masks as masklib
 
-
-def _recompute_p(s, valid, lse_vals):
-    """P = exp(S - lse) with the reference's guards: zero when masked or when
-    S - lse < -80 (reference: include/softmax.h:284-287)."""
-    sh = s - lse_vals
-    cond = valid & (sh >= EXP_CLAMP)
-    return jnp.where(cond, jnp.exp(jnp.minimum(sh, 0.0)), 0.0)
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 
 
-def _grad_scores(p, p_drop, dov, delta_vals, s, softmax_scale, params, valid):
+def _grad_scores(p, p_drop, dov, delta_vals, s_nat, softmax_scale, params,
+                 valid=None):
     """dS = (P_drop*dOV - P*delta) * scale, then the softcap chain factor
-    (reference: include/softmax.h:309-314)."""
+    (reference: include/softmax.h:309-314).  `s_nat` (natural-scale capped
+    scores) is only consumed under softcap.  `valid` (used by the varlen
+    kernels, which always mask) zeroes masked entries."""
     ds = (p_drop * dov - p * delta_vals) * softmax_scale
     if params.softcap > 0.0:
-        s_norm = s * (1.0 / params.softcap)
+        s_norm = s_nat * (1.0 / params.softcap)
         ds = ds * (1.0 - s_norm * s_norm)
-    return jnp.where(valid, ds, 0.0)
+    if valid is not None:
+        ds = jnp.where(valid, ds, 0.0)
+    return ds
+
+
+def _recompute_p(s, valid, lse_vals):
+    """P = exp(S - lse), masked entries zeroed (used by the varlen backward
+    kernels; the dense kernels inline the exp2-domain form)."""
+    sh = s - lse_vals
+    p = jnp.exp(jnp.minimum(sh, 0.0))
+    return jnp.where(valid, p, 0.0)
 
 
 # ======================================================================================
@@ -81,6 +93,7 @@ def _dq_kernel(
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
+    has_bias = has_alibi or params.softcap > 0.0
     idx = 0
     slopes_ref = seed_ref = None
     if has_alibi:
@@ -93,6 +106,8 @@ def _dq_kernel(
     q_start = qi * block_q
     k_start = ki * block_k
     offset = seqlen_k - seqlen_q
+    padded_q = seqlen_q % block_q != 0
+    padded_k = seqlen_k % block_k != 0
 
     @pl.when(ki == 0)
     def _init():
@@ -101,8 +116,7 @@ def _dq_kernel(
     run = masklib.block_overlaps(q_start, block_q, k_start, block_k, offset, params,
                                  seqlen_k=seqlen_k)
 
-    @pl.when(run)
-    def _compute():
+    def body(masked: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -110,17 +124,29 @@ def _dq_kernel(
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        rows, cols = masklib.position_ids(block_q, block_k, q_start, k_start)
-        alibi_slope = slopes_ref[b, h] if has_alibi else None
-        s, valid = masklib.apply_score_pipeline(
-            s, rows, cols, softmax_scale=softmax_scale,
-            seqlen_q=seqlen_q, seqlen_k=seqlen_k, offset=offset,
-            params=params, alibi_slope=alibi_slope,
-        )
+        need_pos = has_alibi or has_dropout
+        rows, cols = (masklib.position_ids(block_q, block_k, q_start, k_start)
+                      if need_pos else (None, None))
+        s_nat = None
+        if has_bias:
+            alibi_slope = slopes_ref[b, h] if has_alibi else None
+            s_nat = masklib.apply_score_bias(
+                s, rows, cols, softmax_scale=softmax_scale, offset=offset,
+                params=params, alibi_slope=alibi_slope)
+            s2 = s_nat * LOG2E
+        else:
+            s2 = s * (softmax_scale * LOG2E)
 
-        lse_rows = lse_ref[0, 0]      # (block_q, 1)
+        lse_rows = lse_ref[0, 0]      # (block_q, 1), pre-scaled by log2e
         delta_rows = delta_ref[0, 0]  # (block_q, 1)
-        p = _recompute_p(s, valid, lse_rows)
+        # p = exp2(s2 - lse2); lse2 = +inf rows (fully masked) give p = 0
+        p = jnp.exp2(jnp.minimum(s2 - lse_rows, 0.0))
+        if masked:
+            valid = masklib.position_mask_local(
+                block_q, block_k, q_start, k_start, offset, params,
+                seqlen_q=seqlen_q if padded_q else None,
+                seqlen_k=seqlen_k if padded_k else None)
+            p = jnp.where(valid, p, 0.0)
 
         dov = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -133,11 +159,30 @@ def _dq_kernel(
         else:
             p_drop = p
 
-        ds = _grad_scores(p, p_drop, dov, delta_rows, s, softmax_scale, params, valid)
+        ds = _grad_scores(p, p_drop, dov, delta_rows, s_nat, softmax_scale,
+                          params)
         dq_acc[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    if params.needs_position_mask or padded_q or padded_k:
+        full = masklib.block_fully_valid(
+            q_start, block_q, k_start, block_k, offset, params,
+            seqlen_q=seqlen_q if padded_q else None,
+            seqlen_k=seqlen_k if padded_k else None)
+
+        @pl.when(run & full)
+        def _fast():
+            body(masked=False)
+
+        @pl.when(run & jnp.logical_not(full))
+        def _masked():
+            body(masked=True)
+    else:
+        @pl.when(run)
+        def _all():
+            body(masked=False)
 
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
@@ -164,6 +209,7 @@ def _dkv_kernel(
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
+    has_bias = has_alibi or params.softcap > 0.0
     idx = 0
     slopes_ref = seed_ref = None
     if has_alibi:
@@ -179,6 +225,8 @@ def _dkv_kernel(
     q_start = qi * block_q
     k_start = ki * block_k
     offset = seqlen_k - seqlen_q
+    padded_q = seqlen_q % block_q != 0
+    padded_k = seqlen_k % block_k != 0
 
     @pl.when(t == 0)
     def _init():
@@ -188,8 +236,7 @@ def _dkv_kernel(
     run = masklib.block_overlaps(q_start, block_q, k_start, block_k, offset, params,
                                  seqlen_k=seqlen_k)
 
-    @pl.when(run)
-    def _compute():
+    def body(masked: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -198,18 +245,31 @@ def _dkv_kernel(
         # S^T tile: rows = kv positions, cols = q positions
         st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # (bk, bq)
-        kpos = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 0) + k_start
-        qpos = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 1) + q_start
-        alibi_slope = slopes_ref[b, h] if has_alibi else None
-        st, valid = masklib.apply_score_pipeline(
-            st, qpos, kpos, softmax_scale=softmax_scale,
-            seqlen_q=seqlen_q, seqlen_k=seqlen_k, offset=offset,
-            params=params, alibi_slope=alibi_slope,
-        )
+        need_pos = has_alibi or has_dropout
+        if need_pos:
+            kpos = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 0) + k_start
+            qpos = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 1) + q_start
+        else:
+            kpos = qpos = None
+        st_nat = None
+        if has_bias:
+            alibi_slope = slopes_ref[b, h] if has_alibi else None
+            st_nat = masklib.apply_score_bias(
+                st, qpos, kpos, softmax_scale=softmax_scale, offset=offset,
+                params=params, alibi_slope=alibi_slope)
+            st2 = st_nat * LOG2E
+        else:
+            st2 = st * (softmax_scale * LOG2E)
 
-        lse_cols = lse_ref[0, 0]      # (1, block_q)
+        lse_cols = lse_ref[0, 0]      # (1, block_q), pre-scaled by log2e
         delta_cols = delta_ref[0, 0]  # (1, block_q)
-        pt = _recompute_p(st, valid, lse_cols)
+        pt = jnp.exp2(jnp.minimum(st2 - lse_cols, 0.0))
+        if masked:
+            valid_t = masklib.position_mask_local(
+                block_q, block_k, q_start, k_start, offset, params,
+                seqlen_q=seqlen_q if padded_q else None,
+                seqlen_k=seqlen_k if padded_k else None, transposed=True)
+            pt = jnp.where(valid_t, pt, 0.0)
 
         dovt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)  # (bk, bq)
@@ -226,12 +286,30 @@ def _dkv_kernel(
             pt_drop.astype(do.dtype), do, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dst = _grad_scores(pt, pt_drop, dovt, delta_cols, st, softmax_scale,
-                           params, valid)
+        dst = _grad_scores(pt, pt_drop, dovt, delta_cols, st_nat, softmax_scale,
+                           params)
         dk_acc[...] += jax.lax.dot_general(
             dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    if params.needs_position_mask or padded_q or padded_k:
+        full = masklib.block_fully_valid(
+            q_start, block_q, k_start, block_k, offset, params,
+            seqlen_q=seqlen_q if padded_q else None,
+            seqlen_k=seqlen_k if padded_k else None)
+
+        @pl.when(run & full)
+        def _fast():
+            body(masked=False)
+
+        @pl.when(run & jnp.logical_not(full))
+        def _masked():
+            body(masked=True)
+    else:
+        @pl.when(run)
+        def _all():
+            body(masked=False)
 
     @pl.when(t == num_inner - 1)
     def _store():
@@ -293,10 +371,14 @@ def flash_attn_dense_bwd(
     if dlse is not None:
         delta = delta - dlse.astype(jnp.float32)
 
-    # lse may contain -inf for fully-masked rows; keep arithmetic finite.
-    lse_safe = jnp.maximum(lse, NEG_INF)
+    # the kernels recompute P in the exp2 domain: pre-scale lse by log2e.
+    # Fully-masked rows have lse = -inf; +inf would also work (p = 0 via the
+    # min(., 0)), but keep NEG_INF-clamped finite arithmetic.
+    lse2 = jnp.maximum(lse, NEG_INF) * LOG2E
 
-    feat_args = (params, alibi_slopes, dropout_p, dropout_seed)
+    offset = N - M
+    wr = params.effective_window_right()
+    wl = params.window_left
 
     def feature_specs():
         in_specs, inputs = [], []
@@ -317,11 +399,22 @@ def flash_attn_dense_bwd(
     dop = _pad_seq(dot_, Mp, 2)
     kp = _pad_seq(kt, Np, 2)
     vp = _pad_seq(vt, Np, 2)
-    lsep = _pad_seq(lse_safe, Mp, 2)[..., None]    # (B, Hq, Mp, 1)
+    lsep = _pad_seq(lse2, Mp, 2)[..., None]    # (B, Hq, Mp, 1)
     deltap = _pad_seq(delta, Mp, 2)[..., None]
 
     num_q_blocks, num_kv_blocks = Mp // bq, Np // bk
     feat_specs, feat_inputs = feature_specs()
+
+    # causal/window kv-range clamp (fwd.py's trick): skipped iterations alias
+    # the previous block index -> no DMA
+    def kv_idx(qi, ki):
+        if wr >= 0:
+            hi = jnp.maximum((qi * bq + bq - 1 + offset + wr) // bk, 0)
+            ki = jnp.minimum(ki, hi)
+        if wl >= 0:
+            lo = jnp.maximum((qi * bq + offset - wl) // bk, 0)
+            ki = jnp.maximum(ki, lo)
+        return ki
 
     dq = pl.pallas_call(
         functools.partial(
@@ -332,8 +425,10 @@ def flash_attn_dense_bwd(
         grid=(B, Hq, num_q_blocks, num_kv_blocks),
         in_specs=feat_specs + [
             pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h // group, ki, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h // group, ki, 0)),
+            pl.BlockSpec((1, 1, bk, D),
+                         lambda b, h, qi, ki: (b, h // group, kv_idx(qi, ki), 0)),
+            pl.BlockSpec((1, 1, bk, D),
+                         lambda b, h, qi, ki: (b, h // group, kv_idx(qi, ki), 0)),
             pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
             pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
             pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
@@ -355,17 +450,31 @@ def flash_attn_dense_bwd(
     dop = _pad_seq(dot_, Mp, 2)
     kp = _pad_seq(kt, Np, 2)
     vp = _pad_seq(vt, Np, 2)
-    lsep = _pad_seq(lse_safe, Mp, 2)[:, :, None, :]    # (B, Hq, 1, Mp)
+    lsep = _pad_seq(lse2, Mp, 2)[:, :, None, :]    # (B, Hq, 1, Mp)
     deltap = _pad_seq(delta, Mp, 2)[:, :, None, :]
 
     num_q_blocks, num_kv_blocks = Mp // bq, Np // bk
     num_inner = group * num_q_blocks
 
+    # q-range clamp per kv tile (transposed trim): under causal/window_right
+    # the live q tiles start at (k_start - offset - wr) and window_left caps
+    # them above
+    def q_idx(ki, qi):
+        if wr >= 0:
+            lo = jnp.maximum((ki * bk - offset - wr) // bq, 0)
+            qi = jnp.maximum(qi, lo)
+        if wl >= 0:
+            hi = jnp.maximum((ki * bk + bk - 1 - offset + wl) // bq, 0)
+            qi = jnp.minimum(qi, hi)
+        return qi
+
     def qmap(b, hk, ki, t):
-        return (b, hk * group + t // num_q_blocks, t % num_q_blocks, 0)
+        return (b, hk * group + t // num_q_blocks,
+                q_idx(ki, t % num_q_blocks), 0)
 
     def lmap(b, hk, ki, t):
-        return (b, hk * group + t // num_q_blocks, 0, t % num_q_blocks)
+        return (b, hk * group + t // num_q_blocks, 0,
+                q_idx(ki, t % num_q_blocks))
 
     feat_specs, feat_inputs = feature_specs()
 

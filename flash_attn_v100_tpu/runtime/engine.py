@@ -48,7 +48,7 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
     cos, sin = rope_tables(cfg, cfg.max_seq_len)
     x = jnp.take(params["embed"], tokens, axis=0)
     for li, lp in enumerate(params["layers"]):
-        h = rmsnorm(x, lp["ln1"])
+        h = rmsnorm(x, lp["ln1"], cfg.norm_eps)
         q = (h @ lp["wq"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
         k = (h @ lp["wk"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = (h @ lp["wv"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
@@ -60,10 +60,12 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
         k_pool = k_pool.at[li].set(kc)
         v_pool = v_pool.at[li].set(vc)
         x = x + attn.reshape(B, T, -1) @ lp["wo"]
-        h2 = rmsnorm(x, lp["ln2"])
+        h2 = rmsnorm(x, lp["ln2"], cfg.norm_eps)
         x = x + (jax.nn.silu(h2 @ lp["w1"]) * (h2 @ lp["w3"])) @ lp["w2"]
-    x = rmsnorm(x, params["ln_f"])
-    return (x @ params["embed"].T).astype(jnp.float32), k_pool, v_pool
+    x = rmsnorm(x, params["ln_f"], cfg.norm_eps)
+    head = params.get("lm_head", None)
+    head = params["embed"].T if head is None else head
+    return (x @ head).astype(jnp.float32), k_pool, v_pool
 
 
 @dataclasses.dataclass

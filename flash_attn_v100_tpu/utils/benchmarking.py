@@ -27,10 +27,19 @@ def _fence(res) -> None:
     jax.device_get(scalar)
 
 
-def measure(fn: Callable, *args, iters: int = 32, warmup: int = 2) -> float:
+def measure(fn: Callable, *args, iters: int = 32, warmup: int = 2,
+            repeats: int = 3, min_window_s: float = 0.1) -> float:
     """Queue-delta timing: seconds per call of jitted `fn`.  Enqueues M calls
     back-to-back and differences two queue depths so fixed dispatch overhead
-    cancels."""
+    cancels.
+
+    Robustness against tunnel stalls (remote dispatch can hiccup for
+    milliseconds, which dwarfs a ~1 ms kernel at small iteration counts):
+    the iteration count adapts until the measured window is at least
+    `min_window_s` of device work, and each depth is sampled `repeats`
+    times taking medians."""
+    import statistics
+
     _fence(fn(*args))
 
     def timed(m):
@@ -41,9 +50,14 @@ def measure(fn: Callable, *args, iters: int = 32, warmup: int = 2) -> float:
         _fence(res)
         return time.perf_counter() - t0
 
-    t_small = timed(warmup)
-    t_big = timed(warmup + iters)
-    return max((t_big - t_small) / iters, 1e-9)
+    timed(warmup)  # second warmup after compile: steady-state queue
+    # adaptive sizing from a rough single-shot estimate
+    est = timed(8) / 8
+    n = max(iters, int(min_window_s / max(est, 1e-7)))
+    n = min(n, 2048)
+    t_small = statistics.median(timed(warmup) for _ in range(repeats))
+    t_big = statistics.median(timed(warmup + n) for _ in range(repeats))
+    return max((t_big - t_small) / n, 1e-9)
 
 
 def tflops(flops: int, seconds: float) -> float:

@@ -1,0 +1,106 @@
+"""Integrations: LoRA SFT on the flagship model and HF-Llama checkpoint
+import (logit parity vs transformers' torch implementation)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from flash_attn_v100_tpu.models.transformer import (
+    ModelConfig, init_params, forward)
+from flash_attn_v100_tpu.integrations.lora import (
+    LoraConfig, lora_init, lora_loss, make_lora_train_step, merge)
+
+
+def test_lora_init_is_identity(rng):
+    cfg = ModelConfig.tiny()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    lcfg = LoraConfig(rank=4)
+    lora = lora_init(jax.random.PRNGKey(1), params, lcfg)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32)), jnp.int32)
+    base = forward(params, toks, cfg)
+    merged = forward(merge(params, lora, lcfg), toks, cfg)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(merged),
+                               rtol=0, atol=1e-6)
+
+
+def test_lora_training_reduces_loss(rng):
+    cfg = ModelConfig.tiny(n_layers=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    lcfg = LoraConfig(rank=4, alpha=8.0)
+    lora = lora_init(jax.random.PRNGKey(1), params, lcfg)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 33)), jnp.int32)
+    step, opt = make_lora_train_step(cfg, lcfg)
+    opt_state = opt.init(lora)
+    key = jax.random.PRNGKey(2)
+    first = None
+    for i in range(8):
+        loss, lora, opt_state = step(lora, opt_state, params, toks, key)
+        first = first if first is not None else float(loss)
+    assert float(loss) < first - 0.05, (first, float(loss))
+    # base params untouched by construction (they're a frozen operand)
+
+
+def test_lora_grads_flow_only_to_adapters(rng):
+    cfg = ModelConfig.tiny(n_layers=1)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    lcfg = LoraConfig(rank=2, targets=("wq", "wv"))
+    lora = lora_init(jax.random.PRNGKey(1), params, lcfg)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 17)), jnp.int32)
+    g = jax.grad(lora_loss)(lora, params, toks, cfg, lcfg)
+    # b starts at zero => dL/dA = 0 on the first step, dL/dB != 0
+    gb = g["layers"][0]["wq"]["b"]
+    assert float(jnp.abs(gb).max()) > 0
+
+
+# ---- HF import parity ----
+
+def _tiny_hf_llama():
+    torch = pytest.importorskip("torch")
+    tfs = pytest.importorskip("transformers")
+    hf_cfg = tfs.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False)
+    torch.manual_seed(0)
+    with torch.no_grad():
+        model = tfs.LlamaForCausalLM(hf_cfg).eval()
+    return model, hf_cfg
+
+
+def test_hf_llama_logit_parity(rng):
+    torch = pytest.importorskip("torch")
+    from flash_attn_v100_tpu.integrations.huggingface import convert_hf_llama
+    model, hf_cfg = _tiny_hf_llama()
+    params, cfg = convert_hf_llama(model, dtype=jnp.float32)
+    assert cfg.n_kv_heads == 2 and cfg.norm_eps == 1e-6
+
+    toks = rng.integers(0, hf_cfg.vocab_size, (2, 24))
+    with torch.no_grad():
+        ref = model(torch.asarray(np.asarray(toks))).logits.float().numpy()
+    got = np.asarray(forward(params, jnp.asarray(toks, jnp.int32), cfg))
+    # fp32 end-to-end on CPU interpret: tight tolerance
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_hf_llama_decode_parity(rng):
+    """Greedy generation through the paged serving engine matches HF greedy."""
+    torch = pytest.importorskip("torch")
+    from flash_attn_v100_tpu.integrations.huggingface import convert_hf_llama
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    model, hf_cfg = _tiny_hf_llama()
+    params, cfg = convert_hf_llama(model, dtype=jnp.float32)
+
+    prompt = rng.integers(1, hf_cfg.vocab_size, (6,)).tolist()
+    n_new = 6
+    with torch.no_grad():
+        out = model.generate(
+            torch.asarray(np.asarray([prompt])), max_new_tokens=n_new,
+            do_sample=False, use_cache=True, pad_token_id=0)
+    ref = out[0, len(prompt):].tolist()
+
+    eng = ServingEngine(params, cfg, max_batch=2, num_pages=16, page_size=16)
+    rid = eng.submit(prompt, max_new_tokens=n_new)
+    res = eng.run_to_completion()
+    assert res[rid] == ref, (res[rid], ref)
