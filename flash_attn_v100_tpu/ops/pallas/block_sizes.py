@@ -48,10 +48,12 @@ class BlockSizes:
             # 4k causal): D64 (1024,1024) 40 TF/s, D128 (512,1024) 74 TF/s,
             # D256 (512,512) 85 TF/s — bigger q tiles amortize the per-step
             # VPU softmax cost that dominates at small D
+            # bwd tiles: 512-square measured best at D<=128 (45.5 TF/s
+            # effective vs 37.7 at 256-square, same 4k shape)
             if head_dim <= 64:
-                base = BlockSizes(1024, 1024, 512, 256, 256, 512)
+                base = BlockSizes(1024, 1024, 512, 512, 512, 512)
             elif head_dim <= 128:
-                base = BlockSizes(512, 1024, 256, 256, 256, 256)
+                base = BlockSizes(512, 1024, 512, 512, 512, 512)
             else:
                 base = BlockSizes(512, 512, 128, 256, 256, 128)
 

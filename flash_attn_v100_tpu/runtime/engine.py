@@ -37,7 +37,8 @@ from flash_attn_v100_tpu.runtime.scheduler import Scheduler
 
 
 def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
-                  cfg: ModelConfig, *, interpret: Optional[bool] = None):
+                  cfg: ModelConfig, *, mesh=None,
+                  interpret: Optional[bool] = None):
     """tokens (B, T) -> (logits (B, T, vocab) fp32, k_pool, v_pool).
 
     k_pool/v_pool: (L, Hk, P, ps, D) page pools in HND layout; block_table
@@ -47,16 +48,37 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
     B, T = tokens.shape
     cos, sin = rope_tables(cfg, cfg.max_seq_len)
     x = jnp.take(params["embed"], tokens, axis=0)
+
+    def attn_step(q, kp, vp, k, v):
+        return flash_attn_with_kvcache(
+            q, kp, vp, k=k, v=v,
+            rotary_cos=cos, rotary_sin=sin, cache_seqlens=cache_seqlens,
+            block_table=block_table, causal=True, rotary_interleaved=False,
+            kv_cache_layout="HND", interpret=interpret)
+
+    if mesh is not None:
+        # tensor-parallel decode: projections are column/row-sharded on
+        # "model" (GSPMD); the attention itself — a Pallas call XLA cannot
+        # partition — runs under shard_map with heads AND their pool pages
+        # sharded identically on "model", so each chip decodes its local
+        # heads with zero collectives (the psum after wo is GSPMD's).
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from flash_attn_v100_tpu.parallel.mesh import MODEL_AXIS
+        head = P(None, None, MODEL_AXIS, None)
+        pool = P(MODEL_AXIS, None, None, None)
+        attn_step = shard_map(
+            attn_step, mesh=mesh,
+            in_specs=(head, pool, pool, head, head),
+            out_specs=(head, (pool, pool)),
+            check_vma=False)
+
     for li, lp in enumerate(params["layers"]):
         h = rmsnorm(x, lp["ln1"], cfg.norm_eps)
         q = (h @ lp["wq"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
         k = (h @ lp["wk"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = (h @ lp["wv"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        attn, (kc, vc) = flash_attn_with_kvcache(
-            q, k_pool[li], v_pool[li], k=k, v=v,
-            rotary_cos=cos, rotary_sin=sin, cache_seqlens=cache_seqlens,
-            block_table=block_table, causal=True, rotary_interleaved=False,
-            kv_cache_layout="HND", interpret=interpret)
+        attn, (kc, vc) = attn_step(q, k_pool[li], v_pool[li], k, v)
         k_pool = k_pool.at[li].set(kc)
         v_pool = v_pool.at[li].set(vc)
         x = x + attn.reshape(B, T, -1) @ lp["wo"]
@@ -92,13 +114,17 @@ class ServingEngine:
                  num_pages: int = 256, page_size: int = 16,
                  greedy: bool = True, temperature: float = 1.0,
                  rng_seed: int = 0, use_native: bool = True,
-                 interpret: Optional[bool] = None):
+                 mesh=None, interpret: Optional[bool] = None):
+        """`mesh`: a jax.sharding.Mesh for tensor-parallel decode — KV heads
+        and their page pools shard over the "model" axis; `params` must
+        already be placed with `models.transformer.param_shardings`."""
         if cfg.max_seq_len % page_size:
             raise ValueError("page_size must divide cfg.max_seq_len")
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
         self.max_batch = max_batch
+        self.mesh = mesh
         # one scratch page (id 0) backs inactive batch rows; the scheduler
         # hands out pages 1..num_pages.
         self.sched = Scheduler(max_batch, num_pages, page_size,
@@ -108,6 +134,12 @@ class ServingEngine:
                       cfg.head_dim)
         self.k_pool = jnp.zeros(pool_shape, cfg.dtype)
         self.v_pool = jnp.zeros(pool_shape, cfg.dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from flash_attn_v100_tpu.parallel.mesh import MODEL_AXIS
+            sh = NamedSharding(mesh, P(None, MODEL_AXIS, None, None, None))
+            self.k_pool = jax.device_put(self.k_pool, sh)
+            self.v_pool = jax.device_put(self.v_pool, sh)
         self.greedy = greedy
         self.temperature = temperature
         self._rng = jax.random.PRNGKey(rng_seed)
@@ -115,7 +147,8 @@ class ServingEngine:
         self._next_id = 0
         self._interpret = interpret
         self._fwd = jax.jit(
-            functools.partial(paged_forward, cfg=cfg, interpret=interpret),
+            functools.partial(paged_forward, cfg=cfg, mesh=mesh,
+                              interpret=interpret),
             donate_argnums=(1, 2))
         self.metrics = dict(steps=0, tokens_generated=0, prefill_tokens=0)
 

@@ -190,3 +190,28 @@ def test_engine_rejects_oversized():
         eng.submit(list(range(60)), max_new_tokens=10)  # 70 > max_seq_len 64
     with pytest.raises(ValueError):
         eng.submit([], max_new_tokens=1)
+
+
+def test_engine_tensor_parallel_matches_single():
+    """TP-sharded engine (heads + pools on "model") produces the same greedy
+    tokens as the unsharded engine on the virtual device mesh."""
+    from flash_attn_v100_tpu.models.transformer import param_shardings
+    from flash_attn_v100_tpu.parallel.mesh import make_mesh
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+
+    cfg, params = _make_model()  # tiny: n_heads=4, n_kv_heads=2
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1]]
+
+    eng1 = ServingEngine(params, cfg, max_batch=2, num_pages=16, page_size=8)
+    r1 = [eng1.submit(p, max_new_tokens=5) for p in prompts]
+    out1 = eng1.run_to_completion()
+
+    mesh = make_mesh(data=1, seq=1, model=2)
+    params_tp = jax.device_put(params, param_shardings(params, cfg, mesh))
+    eng2 = ServingEngine(params_tp, cfg, max_batch=2, num_pages=16,
+                         page_size=8, mesh=mesh)
+    r2 = [eng2.submit(p, max_new_tokens=5) for p in prompts]
+    out2 = eng2.run_to_completion()
+
+    for a, b in zip(r1, r2):
+        assert out1[a] == out2[b], (out1[a], out2[b])
