@@ -230,6 +230,30 @@ def apply_score_pipeline_ragged(
     return s, valid
 
 
+def ragged_causal_overlaps(q_pos, offs, k_pos, q_seg, k_seg,
+                           params: MaskParams):
+    """Causal/window trim for ragged tiles: True if any (row, col) pair can
+    be unmasked by the POSITION rules (the segment rule is
+    `ragged_block_overlaps`).  Conservative across segments: uses tile-wide
+    bounds of within-sequence positions, exact for the common one-segment
+    tile.  The varlen analog of the dense `block_overlaps` trim."""
+    big = jnp.int32(2 ** 30)
+    run = True
+    q_valid = q_seg >= 0
+    k_valid = k_seg >= 0
+    # rel(r, c) = k_pos[c] - offs[r]; masked-causal when rel > q_pos[r]
+    wr = params.effective_window_right()
+    if wr >= 0:
+        kmin = jnp.min(jnp.where(k_valid, k_pos, big))
+        qmax = jnp.max(jnp.where(q_valid, q_pos + offs, -big))
+        run = jnp.logical_and(run, kmin <= qmax + wr)
+    if params.window_left >= 0:
+        kmax = jnp.max(jnp.where(k_valid, k_pos, -big))
+        qmin = jnp.min(jnp.where(q_valid, q_pos + offs, big))
+        run = jnp.logical_and(run, kmax >= qmin - params.window_left)
+    return run
+
+
 def ragged_block_overlaps(q_seg_tile, k_seg_tile):
     """Tile-skip predicate for packed batches: do any q rows and k cols of
     this tile pair belong to a common sequence?  Sequences are contiguous in

@@ -32,9 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_v100_tpu.config import NEG_INF, EXP_CLAMP, use_interpret
 from flash_attn_v100_tpu.ops import philox
-from flash_attn_v100_tpu.ops.pallas.block_sizes import BlockSizes, MIN_LANES, round_up
+from flash_attn_v100_tpu.ops.pallas.block_sizes import (
+    BlockSizes, MIN_LANES, cdiv, round_up)
 from flash_attn_v100_tpu.ops.pallas import masks as masklib
 from flash_attn_v100_tpu.ops.pallas.bwd import _recompute_p, _grad_scores
+
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 
 
 # ======================================================================================
@@ -45,17 +49,28 @@ def build_ragged_info(
     cu_seqlens_q, cu_seqlens_k, total_q: int, total_k: int,
     padded_q: int, padded_k: int,
     seqused_k=None, leftpad_k=None,
+    window_left: int = -1, window_right: int = -1,
 ):
     """Per-token int32 vectors encoding the ragged structure.
 
-    Returns (q_seg, q_pos, q_offs, k_seg, k_pos), each padded to
-    padded_q/padded_k; seg == -1 marks padding / unused tokens.
-    This is the whole of the reference's device-side BlockInfo varlen logic
-    (include/template.h:55-92) hoisted into vectorized host precompute.
+    Returns (q_seg, q_pos, q_offs, k_seg, k_pos, k_lo_row, k_hi_row,
+    q_lo_row, q_hi_row), each padded to padded_q/padded_k; seg == -1 marks
+    padding / unused tokens.  This is the whole of the reference's
+    device-side BlockInfo varlen logic (include/template.h:55-92) hoisted
+    into vectorized host precompute.
+
+    k_lo_row/k_hi_row: per q row, the inclusive GLOBAL packed-k index range
+    it may attend under causal(=window_right)/window_left; q_lo_row/q_hi_row
+    the transposed ranges per k row.  Block-reduced, they drive the
+    scalar-prefetched index-map clamps that keep the kernels from streaming
+    dead tiles (the DMA half of the reference's block trim,
+    include/template.h:98-111).  `window_right` here is the EFFECTIVE right
+    window (0 under causal).
     """
     cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
     cu_k = jnp.asarray(cu_seqlens_k, jnp.int32)
     B = cu_q.shape[0] - 1
+    BIG = jnp.int32(2 ** 30)
 
     iq = jnp.arange(padded_q, dtype=jnp.int32)
     q_seg = jnp.searchsorted(cu_q[1:], iq, side="right").astype(jnp.int32)
@@ -65,6 +80,7 @@ def build_ragged_info(
 
     slq = cu_q[q_seg_c + 1] - cu_q[q_seg_c]
     slk = cu_k[q_seg_c + 1] - cu_k[q_seg_c]
+    lp_q = jnp.zeros_like(slk)
     if seqused_k is not None:
         used = jnp.asarray(seqused_k, jnp.int32)[q_seg_c]
         slk = jnp.where(used > 0, jnp.minimum(slk, used), 0)
@@ -74,6 +90,17 @@ def build_ragged_info(
     q_offs = slk - slq
     q_seg = jnp.where(q_in, q_seg, -1)
     q_pos = jnp.where(q_in, q_pos, 0)
+
+    # per-q-row global packed-k index bounds (inclusive)
+    base_k = cu_k[q_seg_c] + lp_q          # global index of within-seq pos 0
+    rel_hi = slk - 1
+    if window_right >= 0:
+        rel_hi = jnp.minimum(rel_hi, q_pos + q_offs + window_right)
+    rel_lo = jnp.zeros_like(rel_hi)
+    if window_left >= 0:
+        rel_lo = jnp.maximum(q_pos + q_offs - window_left, 0)
+    k_lo_row = jnp.where(q_in, base_k + rel_lo, BIG)
+    k_hi_row = jnp.where(q_in, base_k + rel_hi, -BIG)
 
     ik = jnp.arange(padded_k, dtype=jnp.int32)
     k_seg = jnp.searchsorted(cu_k[1:], ik, side="right").astype(jnp.int32)
@@ -86,6 +113,7 @@ def build_ragged_info(
         used_k = jnp.asarray(seqused_k, jnp.int32)[k_seg_c]
         k_slk = jnp.where(used_k > 0, jnp.minimum(k_slk, used_k), 0)
     k_in &= k_pos_raw < k_slk
+    lp_k = jnp.zeros_like(k_slk)
     if leftpad_k is not None:
         lp_k = jnp.asarray(leftpad_k, jnp.int32)[k_seg_c]
         k_pos = k_pos_raw - lp_k
@@ -95,7 +123,35 @@ def build_ragged_info(
     k_seg = jnp.where(k_in, k_seg, -1)
     k_pos = jnp.where(k_in, k_pos, 0)
 
-    return q_seg, q_pos, q_offs, k_seg, k_pos
+    # per-k-row global packed-q index bounds (inclusive); within one sequence
+    # offs is constant, so the causal/window conditions invert exactly:
+    #   causal/wr: rel <= q_pos + wr  =>  q_pos >= k_pos - offs - wr
+    #   wl:        rel >= q_pos - wl  =>  q_pos <= k_pos - offs + wl
+    k_slq = cu_q[k_seg_c + 1] - cu_q[k_seg_c]
+    k_offs = (k_slk - lp_k) - k_slq
+    base_q = cu_q[k_seg_c]
+    qrel_lo = jnp.zeros_like(k_pos)
+    if window_right >= 0:
+        qrel_lo = jnp.maximum(k_pos - k_offs - window_right, 0)
+    qrel_hi = k_slq - 1
+    if window_left >= 0:
+        qrel_hi = jnp.minimum(qrel_hi, k_pos - k_offs + window_left)
+    q_lo_row = jnp.where(k_in, base_q + qrel_lo, BIG)
+    q_hi_row = jnp.where(k_in, base_q + qrel_hi, -BIG)
+
+    return (q_seg, q_pos, q_offs, k_seg, k_pos,
+            k_lo_row, k_hi_row, q_lo_row, q_hi_row)
+
+
+def block_ranges(lo_row, hi_row, num_blocks: int, block: int,
+                 other_block: int, num_other_blocks: int):
+    """Reduce per-row global index bounds to per-BLOCK [lo, hi] ranges of the
+    other axis's block index (inclusive, int32, clipped to the other grid)."""
+    lo = jnp.min(lo_row.reshape(num_blocks, block), axis=1)
+    hi = jnp.max(hi_row.reshape(num_blocks, block), axis=1)
+    lo = jnp.clip(lo // other_block, 0, num_other_blocks - 1)
+    hi = jnp.clip(hi // other_block, 0, num_other_blocks - 1)
+    return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 
 def _slope_tokens(alibi_slopes, q_seg, Hq):
@@ -109,6 +165,8 @@ def _slope_tokens(alibi_slopes, q_seg, Hq):
 # ======================================================================================
 
 def _varlen_fwd_kernel(
+    lo_ref,       # scalar-prefetch: (num_q_blocks,) first live kv block
+    hi_ref,       # scalar-prefetch: (num_q_blocks,) last live kv block
     *refs,
     params: masklib.MaskParams,
     softmax_scale: float,
@@ -129,9 +187,12 @@ def _varlen_fwd_kernel(
     (q_ref, k_ref, v_ref, qseg_ref, qpos_ref, qoff_ref, kseg_ref, kpos_ref,
      o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs[idx:]
 
-    h, qi, ki = (pl.program_id(i) for i in range(3))
+    h, qi, kin = (pl.program_id(i) for i in range(3))
+    # inner axis iterates the live kv WINDOW: actual block = lo[qi] + kin
+    # (the window length is a static bound, see the wrapper)
+    ki = lo_ref[qi] + kin
 
-    @pl.when(ki == 0)
+    @pl.when(kin == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
@@ -139,7 +200,15 @@ def _varlen_fwd_kernel(
 
     q_seg = qseg_ref[...]  # (block_q, 1)
     k_seg = kseg_ref[...]  # (1, block_k)
-    run = masklib.ragged_block_overlaps(q_seg, k_seg)
+    # the prefetched block range covers bounds/causal/window; seg overlap
+    # still trims interior gaps of multi-sequence tiles
+    run = (ki <= hi_ref[qi]) & masklib.ragged_block_overlaps(q_seg, k_seg)
+
+    # softmax in the exp2 domain unless softcap's tanh needs natural scale
+    # (same trick as fwd.py; lse converts at the store)
+    use_exp2 = params.softcap == 0.0
+    c = LOG2E if use_exp2 else 1.0
+    expf = jnp.exp2 if use_exp2 else jnp.exp
 
     @pl.when(run)
     def _compute():
@@ -151,18 +220,19 @@ def _varlen_fwd_kernel(
         q_pos = qpos_ref[...]
         k_pos = kpos_ref[...]
         offs = qoff_ref[...]
-        alibi_slope = slope_ref[0] if has_alibi else None  # (bq, 1)
+        alibi_slope = (slope_ref[0] * c) if has_alibi else None  # (bq, 1)
         s, valid = masklib.apply_score_pipeline_ragged(
             s, q_pos, k_pos, q_seg, k_seg, offs,
-            softmax_scale=softmax_scale, params=params, alibi_slope=alibi_slope,
+            softmax_scale=softmax_scale * c, params=params,
+            alibi_slope=alibi_slope,
         )
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(jnp.maximum(s - m_next[:, :1], EXP_CLAMP))
+        alpha = expf(m_prev - m_next)
+        p = expf(s - m_next[:, :1])
         p = jnp.where(valid, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
@@ -179,12 +249,13 @@ def _varlen_fwd_kernel(
                                  preferred_element_type=jnp.float32)
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when(ki == num_kv_blocks - 1)
+    @pl.when(kin == num_kv_blocks - 1)
     def _store():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        lse = jnp.where(l == 0.0, -jnp.inf, m_scr[:, :1] + jnp.log(l_scr[:, :1]))
+        m_nat = m_scr[:, :1] * (LN2 if use_exp2 else 1.0)
+        lse = jnp.where(l == 0.0, -jnp.inf, m_nat + jnp.log(l_scr[:, :1]))
         lse_ref[0] = lse.astype(jnp.float32)
 
 
@@ -203,6 +274,7 @@ def flash_attn_varlen_fwd(
     leftpad_k=None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
+    equal_lens: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (out (Tq, Hq, D), lse (Hq, Tq) fp32 — the reference's varlen
     LSE layout (kernel/fused_mha_forward_varlen.cu:519))."""
@@ -220,28 +292,52 @@ def flash_attn_varlen_fwd(
     kt = jnp.swapaxes(jnp.pad(k, ((0, Tkp - Tk), (0, 0), (0, 0))), 0, 1)
     vt = jnp.swapaxes(jnp.pad(v, ((0, Tkp - Tk), (0, 0), (0, 0))), 0, 1)
 
-    q_seg, q_pos, q_offs, k_seg, k_pos = build_ragged_info(
+    (q_seg, q_pos, q_offs, k_seg, k_pos,
+     k_lo_row, k_hi_row, _, _) = build_ragged_info(
         cu_seqlens_q, cu_seqlens_k, Tq, Tk, Tqp, Tkp,
-        seqused_k=seqused_k, leftpad_k=leftpad_k)
+        seqused_k=seqused_k, leftpad_k=leftpad_k,
+        window_left=params.window_left,
+        window_right=params.effective_window_right())
 
     num_q_blocks, num_kv_blocks = Tqp // bq, Tkp // bk
-    grid = (Hq, num_q_blocks, num_kv_blocks)
+    kv_lo, kv_hi = block_ranges(k_lo_row, k_hi_row, num_q_blocks, bq, bk,
+                                num_kv_blocks)
+
+    # inner grid = live kv WINDOW per q block, offset by the prefetched lo.
+    # With self-attention packing (cu_q == cu_k) a q block's kv span is
+    # statically bounded by its own width plus the two sequences it can cut
+    # into — usually far below the full kv extent.
+    win_k = num_kv_blocks
+    if equal_lens:
+        win_k = min(num_kv_blocks,
+                    cdiv(bq + 2 * max(max_seqlen_k - 1, 0), bk) + 1)
+    grid = (Hq, num_q_blocks, win_k)
+
+    def kv_idx(qi, kin, lo_ref, hi_ref):
+        # dead iterations (lo+kin > hi) alias a live block: no DMA; `run`
+        # skips their compute
+        return jnp.clip(lo_ref[qi] + kin, 0, num_kv_blocks - 1)
 
     in_specs, inputs = [], []
     if params.has_alibi:
         slope_tok = _slope_tokens(alibi_slopes, q_seg, Hq)  # (Hq, Tqp)
-        in_specs.append(pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)))
+        in_specs.append(pl.BlockSpec((1, bq, 1),
+                                     lambda h, qi, ki, *_: (h, qi, 0)))
         inputs.append(slope_tok[:, :, None])
     if dropout_p > 0.0:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(dropout_seed.astype(jnp.uint32))
 
-    qcol = lambda h, qi, ki: (qi, 0)
-    krow = lambda h, qi, ki: (0, ki)
+    qcol = lambda h, qi, ki, *_: (qi, 0)
+    krow = lambda h, qi, ki, lo, hi: (0, kv_idx(qi, ki, lo, hi))
     in_specs += [
-        pl.BlockSpec((1, bq, D), lambda h, qi, ki: (h, qi, 0)),
-        pl.BlockSpec((1, bk, D), lambda h, qi, ki: (h // group, ki, 0)),
-        pl.BlockSpec((1, bk, D), lambda h, qi, ki: (h // group, ki, 0)),
+        pl.BlockSpec((1, bq, D), lambda h, qi, ki, *_: (h, qi, 0)),
+        pl.BlockSpec((1, bk, D),
+                     lambda h, qi, ki, lo, hi: (h // group,
+                                                kv_idx(qi, ki, lo, hi), 0)),
+        pl.BlockSpec((1, bk, D),
+                     lambda h, qi, ki, lo, hi: (h // group,
+                                                kv_idx(qi, ki, lo, hi), 0)),
         pl.BlockSpec((bq, 1), qcol),
         pl.BlockSpec((bq, 1), qcol),
         pl.BlockSpec((bq, 1), qcol),
@@ -252,32 +348,36 @@ def flash_attn_varlen_fwd(
                q_seg[:, None], q_pos[:, None], q_offs[:, None],
                k_seg[None, :], k_pos[None, :]]
 
-    out, lse = pl.pallas_call(
-        functools.partial(
-            _varlen_fwd_kernel, params=params, softmax_scale=softmax_scale,
-            dropout_p=dropout_p, num_heads=Hq,
-            block_q=bq, block_k=bk, num_kv_blocks=num_kv_blocks,
-        ),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, bq, D), lambda h, qi, ki: (h, qi, 0)),
-            pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((Hq, Tqp, D), q.dtype),
-            jax.ShapeDtypeStruct((Hq, Tqp, 1), jnp.float32),
+            pl.BlockSpec((1, bq, D), lambda h, qi, ki, *_: (h, qi, 0)),
+            pl.BlockSpec((1, bq, 1), lambda h, qi, ki, *_: (h, qi, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, MIN_LANES), jnp.float32),
             pltpu.VMEM((bq, MIN_LANES), jnp.float32),
             pltpu.VMEM((bq, D), jnp.float32),
         ],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _varlen_fwd_kernel, params=params, softmax_scale=softmax_scale,
+            dropout_p=dropout_p, num_heads=Hq,
+            block_q=bq, block_k=bk, num_kv_blocks=win_k,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((Hq, Tqp, D), q.dtype),
+            jax.ShapeDtypeStruct((Hq, Tqp, 1), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(*inputs)
+    )(kv_lo, kv_hi, *inputs)
 
     out = jnp.swapaxes(out[:, :Tq], 0, 1)
     lse = lse[:, :Tq, 0]
@@ -289,6 +389,7 @@ def flash_attn_varlen_fwd(
 # ======================================================================================
 
 def _varlen_dq_kernel(
+    lo_ref, hi_ref,   # scalar-prefetch: per-q-block live kv block range
     *refs,
     params, softmax_scale, dropout_p, num_heads, block_q, block_k, num_kv_blocks,
 ):
@@ -304,15 +405,16 @@ def _varlen_dq_kernel(
      qseg_ref, qpos_ref, qoff_ref, kseg_ref, kpos_ref,
      dq_ref, dq_acc) = refs[idx:]
 
-    h, qi, ki = (pl.program_id(i) for i in range(3))
+    h, qi, kin = (pl.program_id(i) for i in range(3))
+    ki = lo_ref[qi] + kin     # windowed inner axis (see fwd kernel)
 
-    @pl.when(ki == 0)
+    @pl.when(kin == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
     q_seg = qseg_ref[...]
     k_seg = kseg_ref[...]
-    run = masklib.ragged_block_overlaps(q_seg, k_seg)
+    run = (ki <= hi_ref[qi]) & masklib.ragged_block_overlaps(q_seg, k_seg)
 
     @pl.when(run)
     def _compute():
@@ -346,12 +448,13 @@ def _varlen_dq_kernel(
             ds.astype(kk.dtype), kk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    @pl.when(ki == num_kv_blocks - 1)
+    @pl.when(kin == num_kv_blocks - 1)
     def _store():
         dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
 
 
 def _varlen_dkv_kernel(
+    lo_ref, hi_ref,   # scalar-prefetch: per-kv-block live q block range
     *refs,
     params, softmax_scale, dropout_p, num_heads, group,
     block_q, block_k, num_q_blocks, num_inner,
@@ -369,7 +472,9 @@ def _varlen_dkv_kernel(
      dk_ref, dv_ref, dk_acc, dv_acc) = refs[idx:]
 
     hk, ki, t = (pl.program_id(i) for i in range(3))
+    # num_q_blocks here is the WINDOW length; actual q block = lo[ki] + qin
     g = t // num_q_blocks
+    qi = lo_ref[ki] + t % num_q_blocks
     h = hk * group + g
 
     @pl.when(t == 0)
@@ -379,7 +484,7 @@ def _varlen_dkv_kernel(
 
     q_seg = qseg_ref[...]  # (1, bq)
     k_seg = kseg_ref[...]  # (bk, 1)
-    run = masklib.ragged_block_overlaps(q_seg, k_seg)
+    run = (qi <= hi_ref[ki]) & masklib.ragged_block_overlaps(q_seg, k_seg)
 
     @pl.when(run)
     def _compute():
@@ -437,6 +542,7 @@ def flash_attn_varlen_bwd(
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     dlse: Optional[jnp.ndarray] = None,  # (Hq, Tq)
+    equal_lens: bool = False,
 ):
     Tq, Hq, D = q.shape
     Tk, Hk = k.shape[0], k.shape[1]
@@ -459,34 +565,56 @@ def flash_attn_varlen_bwd(
         dot_ = jnp.swapaxes(jnp.pad(dout, ((0, Tqp - Tq), (0, 0), (0, 0))), 0, 1)
         lsep = jnp.pad(lse_safe, ((0, 0), (0, Tqp - Tq)))
         deltap = jnp.pad(delta, ((0, 0), (0, Tqp - Tq)))
-        q_seg, q_pos, q_offs, k_seg, k_pos = build_ragged_info(
+        (q_seg, q_pos, q_offs, k_seg, k_pos,
+         k_lo_row, k_hi_row, q_lo_row, q_hi_row) = build_ragged_info(
             cu_seqlens_q, cu_seqlens_k, Tq, Tk, Tqp, Tkp,
-            seqused_k=seqused_k, leftpad_k=leftpad_k)
+            seqused_k=seqused_k, leftpad_k=leftpad_k,
+            window_left=params.window_left,
+            window_right=params.effective_window_right())
         num_q_blocks, num_kv_blocks = Tqp // bq, Tkp // bk
+
+        # live-window geometry (must precede the alibi specs that close over it)
+        win_k = num_kv_blocks
+        win_q = num_q_blocks
+        if equal_lens:
+            win_k = min(num_kv_blocks,
+                        cdiv(bq + 2 * max(max_seqlen_k - 1, 0), bk) + 1)
+            win_q = min(num_q_blocks,
+                        cdiv(bk + 2 * max(max_seqlen_q - 1, 0), bq) + 1)
+
+        def kv_idx(qi, kin, lo, hi):
+            return jnp.clip(lo[qi] + kin, 0, num_kv_blocks - 1)
+
+        def q_idx(ki, t, lo, hi):
+            return jnp.clip(lo[ki] + t % win_q, 0, num_q_blocks - 1)
 
         feat_specs, feat_inputs = [], []
         if params.has_alibi:
             slope_tok = _slope_tokens(alibi_slopes, q_seg, Hq)
             if which == "dq":
                 feat_specs.append(
-                    pl.BlockSpec((1, bq, 1), lambda h, qi, ki: (h, qi, 0)))
+                    pl.BlockSpec((1, bq, 1), lambda h, qi, ki, *_: (h, qi, 0)))
                 feat_inputs.append(slope_tok[:, :, None])
             else:
                 feat_specs.append(pl.BlockSpec(
                     (1, 1, bq),
-                    lambda hk, ki, t: (hk * group + t // num_q_blocks, 0,
-                                       t % num_q_blocks)))
+                    lambda hk, ki, t, lo, hi: (hk * group + t // win_q, 0,
+                                               q_idx(ki, t, lo, hi))))
                 feat_inputs.append(slope_tok[:, None, :])
         if dropout_p > 0.0:
             feat_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             feat_inputs.append(dropout_seed.astype(jnp.uint32))
 
         if which == "dq":
-            qmap = lambda h, qi, ki: (h, qi, 0)
-            kmap = lambda h, qi, ki: (h // group, ki, 0)
-            lmap = lambda h, qi, ki: (h, qi, 0)
-            qcol = lambda h, qi, ki: (qi, 0)
-            krow = lambda h, qi, ki: (0, ki)
+            kv_lo, kv_hi = block_ranges(k_lo_row, k_hi_row, num_q_blocks, bq,
+                                        bk, num_kv_blocks)
+
+            qmap = lambda h, qi, ki, *_: (h, qi, 0)
+            kmap = lambda h, qi, ki, lo, hi: (h // group,
+                                              kv_idx(qi, ki, lo, hi), 0)
+            lmap = lambda h, qi, ki, *_: (h, qi, 0)
+            qcol = lambda h, qi, ki, *_: (qi, 0)
+            krow = lambda h, qi, ki, lo, hi: (0, kv_idx(qi, ki, lo, hi))
             in_specs = feat_specs + [
                 pl.BlockSpec((1, bq, D), qmap),
                 pl.BlockSpec((1, bk, D), kmap),
@@ -506,31 +634,38 @@ def flash_attn_varlen_bwd(
                 q_seg[:, None], q_pos[:, None], q_offs[:, None],
                 k_seg[None, :], k_pos[None, :],
             ]
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(Hq, num_q_blocks, win_k),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, bq, D), qmap),
+                scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+            )
             dq = pl.pallas_call(
                 functools.partial(
                     _varlen_dq_kernel, params=params, softmax_scale=softmax_scale,
                     dropout_p=dropout_p, num_heads=Hq,
-                    block_q=bq, block_k=bk, num_kv_blocks=num_kv_blocks),
-                grid=(Hq, num_q_blocks, num_kv_blocks),
-                in_specs=in_specs,
-                out_specs=pl.BlockSpec((1, bq, D), qmap),
+                    block_q=bq, block_k=bk, num_kv_blocks=win_k),
+                grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((Hq, Tqp, D), q.dtype),
-                scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "parallel", "arbitrary")),
                 interpret=interpret,
-            )(*inputs)
+            )(kv_lo, kv_hi, *inputs)
             return jnp.swapaxes(dq[:, :Tq], 0, 1)
 
         # dkv pass
-        num_inner = group * num_q_blocks
-        qmap = lambda hk, ki, t: (hk * group + t // num_q_blocks,
-                                  t % num_q_blocks, 0)
-        kmap = lambda hk, ki, t: (hk, ki, 0)
-        lmap = lambda hk, ki, t: (hk * group + t // num_q_blocks, 0,
-                                  t % num_q_blocks)
-        qrow = lambda hk, ki, t: (0, t % num_q_blocks)
-        kcol = lambda hk, ki, t: (ki, 0)
+        q_lo, q_hi = block_ranges(q_lo_row, q_hi_row, num_kv_blocks, bk,
+                                  bq, num_q_blocks)
+        num_inner = group * win_q
+
+        qmap = lambda hk, ki, t, lo, hi: (hk * group + t // win_q,
+                                          q_idx(ki, t, lo, hi), 0)
+        kmap = lambda hk, ki, t, *_: (hk, ki, 0)
+        lmap = lambda hk, ki, t, lo, hi: (hk * group + t // win_q, 0,
+                                          q_idx(ki, t, lo, hi))
+        qrow = lambda hk, ki, t, lo, hi: (0, q_idx(ki, t, lo, hi))
+        kcol = lambda hk, ki, t, *_: (ki, 0)
         in_specs = feat_specs + [
             pl.BlockSpec((1, bq, D), qmap),
             pl.BlockSpec((1, bk, D), kmap),
@@ -550,30 +685,34 @@ def flash_attn_varlen_bwd(
             q_seg[None, :], q_pos[None, :], q_offs[None, :],
             k_seg[:, None], k_pos[:, None],
         ]
-        dk, dv = pl.pallas_call(
-            functools.partial(
-                _varlen_dkv_kernel, params=params, softmax_scale=softmax_scale,
-                dropout_p=dropout_p, num_heads=Hq, group=group,
-                block_q=bq, block_k=bk, num_q_blocks=num_q_blocks,
-                num_inner=num_inner),
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
             grid=(Hk, num_kv_blocks, num_inner),
             in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, bk, D), kmap),
                 pl.BlockSpec((1, bk, D), kmap),
             ),
-            out_shape=(
-                jax.ShapeDtypeStruct((Hk, Tkp, D), k.dtype),
-                jax.ShapeDtypeStruct((Hk, Tkp, D), v.dtype),
-            ),
             scratch_shapes=[
                 pltpu.VMEM((bk, D), jnp.float32),
                 pltpu.VMEM((bk, D), jnp.float32),
             ],
+        )
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _varlen_dkv_kernel, params=params, softmax_scale=softmax_scale,
+                dropout_p=dropout_p, num_heads=Hq, group=group,
+                block_q=bq, block_k=bk, num_q_blocks=win_q,
+                num_inner=num_inner),
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((Hk, Tkp, D), k.dtype),
+                jax.ShapeDtypeStruct((Hk, Tkp, D), v.dtype),
+            ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             interpret=interpret,
-        )(*inputs)
+        )(q_lo, q_hi, *inputs)
         return (jnp.swapaxes(dk[:, :Tk], 0, 1), jnp.swapaxes(dv[:, :Tk], 0, 1))
 
     dq = run_pass(bs.block_q_dq, bs.block_k_dq, "dq")

@@ -40,6 +40,7 @@ class _VarlenCfg:
     max_seqlen_k: int
     has_seqused: bool
     has_leftpad: bool
+    equal_lens: bool
     block_sizes: Optional[BlockSizes]
     interpret: Optional[bool]
 
@@ -52,6 +53,7 @@ def _varlen_core(cfg, q, k, v, cu_q, cu_k, seqused_k, leftpad_k, slopes, seed):
         alibi_slopes=slopes, dropout_p=cfg.dropout_p, dropout_seed=seed,
         seqused_k=seqused_k, leftpad_k=leftpad_k,
         block_sizes=cfg.block_sizes, interpret=cfg.interpret,
+        equal_lens=cfg.equal_lens,
     )
     return out, lse
 
@@ -72,6 +74,7 @@ def _varlen_bwd_rule(cfg, res, cts):
         alibi_slopes=slopes, dropout_p=cfg.dropout_p, dropout_seed=seed,
         seqused_k=seqused_k, leftpad_k=leftpad_k,
         block_sizes=cfg.block_sizes, interpret=cfg.interpret, dlse=dlse,
+        equal_lens=cfg.equal_lens,
     )
 
     def f0(x):
@@ -151,6 +154,10 @@ def flash_attn_varlen_func(
     if softcap > 0.0 and dropout_p > 0.0:
         raise ValueError("softcap and dropout are mutually exclusive "
                          "(reference: kernel/fused_mha_forward_varlen.cu)")
+    # self-attention packing (same cu array object) unlocks the statically
+    # bounded live-window grids in the kernels
+    equal_lens = (cu_seqlens_q is cu_seqlens_k
+                  and seqused_k is None and leftpad_k is None)
     cu_seqlens_q = jnp.asarray(cu_seqlens_q, jnp.int32)
     cu_seqlens_k = jnp.asarray(cu_seqlens_k, jnp.int32)
     B = cu_seqlens_q.shape[0] - 1
@@ -158,6 +165,7 @@ def flash_attn_varlen_func(
     if block_table is not None:
         if dropout_p > 0.0:
             raise ValueError("paged K/V with dropout is not supported")
+        equal_lens = False   # the gathered k stream has fixed per-seq stride
         k, v, cu_seqlens_k, seqlens_k = _gather_paged_kv(
             k, v, block_table, cu_seqlens_k, max_seqlen_k)
         # true lengths enforced through seqused_k
@@ -203,6 +211,7 @@ def flash_attn_varlen_func(
         dropout_p=float(dropout_p),
         max_seqlen_q=int(max_seqlen_q), max_seqlen_k=int(max_seqlen_k),
         has_seqused=seqused_k is not None, has_leftpad=leftpad_k is not None,
+        equal_lens=bool(equal_lens),
         block_sizes=block_sizes, interpret=interpret,
     )
     sk = None if seqused_k is None else jnp.asarray(seqused_k, jnp.int32)
@@ -220,7 +229,7 @@ def flash_attn_varlen_func(
         if dropout_p > 0.0:
             # [total_q, Hq, max_seqlen_k] layout parity
             # (reference: kernel/fused_mha_forward_varlen.cu:532)
-            q_seg, q_pos, _, _, _ = build_ragged_info(
+            q_seg, q_pos, *_ = build_ragged_info(
                 cu_seqlens_q, cu_seqlens_k, Tq, k.shape[0], Tq, k.shape[0],
                 seqused_k=sk, leftpad_k=lp)
             rows = q_pos[:, None, None]

@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Build + test + bench driver — analog of the reference's run.sh (clean ->
+# build -> CUDA_LAUNCH_BLOCKING test, reference: run.sh:33-92).  Here:
+# build the native runtime, run the hermetic CPU suite, then (with --tpu)
+# the hardware oracle sweep and the headline benchmark.
+set -euo pipefail
+cd "$(dirname "$0")"
+
+RUN_TPU=0
+QUICK=""
+for arg in "$@"; do
+  case "$arg" in
+    --tpu) RUN_TPU=1 ;;
+    --quick) QUICK="--quick" ;;
+    --clean) make -C csrc clean ;;
+    *) echo "usage: $0 [--clean] [--tpu] [--quick]"; exit 2 ;;
+  esac
+done
+
+echo "== native runtime =="
+make -C csrc
+
+echo "== hermetic CPU suite (Pallas interpret + virtual 8-device mesh) =="
+python -m pytest tests/ -x -q
+
+if [[ "$RUN_TPU" == "1" ]]; then
+  echo "== hardware oracle sweep =="
+  python benchmarks/sweep_dense.py $QUICK
+  echo "== headline benchmark =="
+  python bench.py
+fi
