@@ -104,9 +104,12 @@ def main():
             t0 = time.time()
             try:
                 # backward on the biggest shapes is slow to compile; skip like
-                # the reference degrades OOM cases (test.py:209-214)
+                # the reference degrades OOM cases (test.py:209-214).  Tiny
+                # shapes run in microseconds — below the tunnel's timing
+                # noise floor — so only check numerics there.
                 do_bwd = not args.no_bwd and M <= 4096
-                r = run_case(rng, B, Hq, M, N, D, causal, dtype, do_bwd=do_bwd)
+                r = run_case(rng, B, Hq, M, N, D, causal, dtype,
+                             do_bwd=do_bwd, do_time=B * Hq * M >= 2**18)
             except Exception as ex:  # noqa: BLE001
                 print(f"  {B}x{Hq}x{M}x{N}x{D} causal={causal}: ERROR {ex}")
                 n_fail += 1

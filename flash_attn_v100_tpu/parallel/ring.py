@@ -88,12 +88,19 @@ def ring_attention_local(
 
         if causal and step == 0:
             o_new, lse_new = chunk_attend(True, k_blk, v_blk)
+        elif causal:
+            # future chunks contribute nothing: BRANCH around the kernel
+            # (lax.cond executes one side at runtime) instead of computing
+            # and masking — halves causal ring compute on average
+            o_new, lse_new = jax.lax.cond(
+                my >= step,
+                lambda kb, vb: chunk_attend(False, kb, vb),
+                lambda kb, vb: (
+                    jnp.zeros(q.shape[:3] + (v.shape[-1],), jnp.float32),
+                    jnp.full(q.shape[:3] + (1,), -jnp.inf, jnp.float32)),
+                k_blk, v_blk)
         else:
             o_new, lse_new = chunk_attend(False, k_blk, v_blk)
-            if causal:
-                keep = my >= step  # scalar, traced
-                lse_new = jnp.where(keep, lse_new, -jnp.inf)
-                o_new = jnp.where(keep, o_new, 0.0)
 
         o_acc, lse_acc = _merge_pair(o_acc, lse_acc, o_new, lse_new)
 
