@@ -37,23 +37,29 @@ from flash_attn_v100_tpu.runtime.scheduler import Scheduler
 
 
 def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
-                  cfg: ModelConfig, *, mesh=None,
-                  interpret: Optional[bool] = None):
-    """tokens (B, T) -> (logits (B, T, vocab) fp32, k_pool, v_pool).
+                  cfg: ModelConfig, *, k_scales=None, v_scales=None,
+                  mesh=None, interpret: Optional[bool] = None):
+    """tokens (B, T) -> (logits (B, T, vocab) fp32, k_pool, v_pool
+    [, k_scales, v_scales]).
 
     k_pool/v_pool: (L, Hk, P, ps, D) page pools in HND layout; block_table
     (B, max_pages).  Appends the T new tokens of every row at its
     cache_seqlens position and runs causal paged attention with fused rotary
-    (reference flow: kernel/fused_mha_forward_kvcache.cu phases A-C)."""
+    (reference flow: kernel/fused_mha_forward_kvcache.cu phases A-C).
+    With int8/fp8 pools pass (L, Hk, P, ps, 1) fp32 scale pools: appended
+    tokens quantize on the fly, the kernel dequantizes in-tile."""
     B, T = tokens.shape
+    quantized = k_scales is not None
     cos, sin = rope_tables(cfg, cfg.max_seq_len)
     x = jnp.take(params["embed"], tokens, axis=0)
 
-    def attn_step(q, kp, vp, k, v):
+    def attn_step(q, kp, vp, k, v, *scales):
+        ksc, vsc = scales if quantized else (None, None)
         return flash_attn_with_kvcache(
             q, kp, vp, k=k, v=v,
             rotary_cos=cos, rotary_sin=sin, cache_seqlens=cache_seqlens,
             block_table=block_table, causal=True, rotary_interleaved=False,
+            k_scales=ksc, v_scales=vsc,
             kv_cache_layout="HND", interpret=interpret)
 
     if mesh is not None:
@@ -67,10 +73,12 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
         from flash_attn_v100_tpu.parallel.mesh import MODEL_AXIS
         head = P(None, None, MODEL_AXIS, None)
         pool = P(MODEL_AXIS, None, None, None)
+        cache_specs = (pool, pool) + ((pool, pool) if quantized else ())
         attn_step = shard_map(
             attn_step, mesh=mesh,
-            in_specs=(head, pool, pool, head, head),
-            out_specs=(head, (pool, pool)),
+            in_specs=(head, pool, pool, head, head) + (
+                (pool, pool) if quantized else ()),
+            out_specs=(head, cache_specs),
             check_vma=False)
 
     for li, lp in enumerate(params["layers"]):
@@ -78,7 +86,13 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
         q = (h @ lp["wq"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
         k = (h @ lp["wk"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         v = (h @ lp["wv"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        attn, (kc, vc) = attn_step(q, k_pool[li], v_pool[li], k, v)
+        if quantized:
+            attn, (kc, vc, ksc, vsc) = attn_step(
+                q, k_pool[li], v_pool[li], k, v, k_scales[li], v_scales[li])
+            k_scales = k_scales.at[li].set(ksc)
+            v_scales = v_scales.at[li].set(vsc)
+        else:
+            attn, (kc, vc) = attn_step(q, k_pool[li], v_pool[li], k, v)
         k_pool = k_pool.at[li].set(kc)
         v_pool = v_pool.at[li].set(vc)
         x = x + attn.reshape(B, T, -1) @ lp["wo"]
@@ -87,7 +101,10 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
     x = rmsnorm(x, params["ln_f"], cfg.norm_eps)
     head = params.get("lm_head", None)
     head = params["embed"].T if head is None else head
-    return (x @ head).astype(jnp.float32), k_pool, v_pool
+    logits = (x @ head).astype(jnp.float32)
+    if quantized:
+        return logits, k_pool, v_pool, k_scales, v_scales
+    return logits, k_pool, v_pool
 
 
 @dataclasses.dataclass
@@ -114,10 +131,13 @@ class ServingEngine:
                  num_pages: int = 256, page_size: int = 16,
                  greedy: bool = True, temperature: float = 1.0,
                  rng_seed: int = 0, use_native: bool = True,
-                 mesh=None, interpret: Optional[bool] = None):
+                 mesh=None, kv_dtype=None,
+                 interpret: Optional[bool] = None):
         """`mesh`: a jax.sharding.Mesh for tensor-parallel decode — KV heads
         and their page pools shard over the "model" axis; `params` must
-        already be placed with `models.transformer.param_shardings`."""
+        already be placed with `models.transformer.param_shardings`.
+        `kv_dtype`: jnp.int8 / jnp.float8_e4m3fn for a quantized page pool
+        (half/quarter HBM per token; appended KV quantizes on the fly)."""
         if cfg.max_seq_len % page_size:
             raise ValueError("page_size must divide cfg.max_seq_len")
         self.params = params
@@ -130,26 +150,42 @@ class ServingEngine:
         self.sched = Scheduler(max_batch, num_pages, page_size,
                                use_native=use_native)
         self.max_pages_per_seq = cfg.max_seq_len // page_size
+        kv_dtype = kv_dtype or cfg.dtype
+        self.quantized = kv_dtype in (jnp.int8, jnp.float8_e4m3fn)
         pool_shape = (cfg.n_layers, cfg.n_kv_heads, num_pages + 1, page_size,
                       cfg.head_dim)
-        self.k_pool = jnp.zeros(pool_shape, cfg.dtype)
-        self.v_pool = jnp.zeros(pool_shape, cfg.dtype)
+        self.k_pool = jnp.zeros(pool_shape, kv_dtype)
+        self.v_pool = jnp.zeros(pool_shape, kv_dtype)
+        self.k_scales = self.v_scales = None
+        if self.quantized:
+            self.k_scales = jnp.ones(pool_shape[:-1] + (1,), jnp.float32)
+            self.v_scales = jnp.ones(pool_shape[:-1] + (1,), jnp.float32)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from flash_attn_v100_tpu.parallel.mesh import MODEL_AXIS
             sh = NamedSharding(mesh, P(None, MODEL_AXIS, None, None, None))
             self.k_pool = jax.device_put(self.k_pool, sh)
             self.v_pool = jax.device_put(self.v_pool, sh)
+            if self.quantized:
+                self.k_scales = jax.device_put(self.k_scales, sh)
+                self.v_scales = jax.device_put(self.v_scales, sh)
         self.greedy = greedy
         self.temperature = temperature
         self._rng = jax.random.PRNGKey(rng_seed)
         self._seqs: Dict[int, _Seq] = {}
         self._next_id = 0
         self._interpret = interpret
-        self._fwd = jax.jit(
-            functools.partial(paged_forward, cfg=cfg, mesh=mesh,
-                              interpret=interpret),
-            donate_argnums=(1, 2))
+        if self.quantized:
+            def fwd(params, kp, vp, ks, vs, toks, cs, bt):
+                return paged_forward(params, kp, vp, toks, cs, bt, cfg=cfg,
+                                     k_scales=ks, v_scales=vs, mesh=mesh,
+                                     interpret=interpret)
+            self._fwd_q = jax.jit(fwd, donate_argnums=(1, 2, 3, 4))
+        else:
+            self._fwd = jax.jit(
+                functools.partial(paged_forward, cfg=cfg, mesh=mesh,
+                                  interpret=interpret),
+                donate_argnums=(1, 2))
         self.metrics = dict(steps=0, tokens_generated=0, prefill_tokens=0)
 
     # ---- request API ----
@@ -195,6 +231,18 @@ class ServingEngine:
             # +1: page 0 is the scratch page; scheduler ids are 0-based
             bt[row, :len(pages)] = np.asarray(pages, np.int32) + 1
         return bt
+
+    def _forward_step(self, toks, cs, bt) -> jnp.ndarray:
+        toks, cs, bt = jnp.asarray(toks), jnp.asarray(cs), jnp.asarray(bt)
+        if self.quantized:
+            (logits, self.k_pool, self.v_pool,
+             self.k_scales, self.v_scales) = self._fwd_q(
+                self.params, self.k_pool, self.v_pool,
+                self.k_scales, self.v_scales, toks, cs, bt)
+        else:
+            logits, self.k_pool, self.v_pool = self._fwd(
+                self.params, self.k_pool, self.v_pool, toks, cs, bt)
+        return logits
 
     def _sample(self, logits: jnp.ndarray) -> np.ndarray:
         """logits (B, vocab) -> token ids (B,)."""
@@ -245,9 +293,7 @@ class ServingEngine:
         for row, s in enumerate(seqs):
             toks[row, :lens[row]] = s
         cs = np.zeros((self.max_batch,), np.int32)  # append from position 0
-        logits, self.k_pool, self.v_pool = self._fwd(
-            self.params, self.k_pool, self.v_pool, jnp.asarray(toks),
-            jnp.asarray(cs), jnp.asarray(self._block_table(ids)))
+        logits = self._forward_step(toks, cs, self._block_table(ids))
         # sample at each row's last REAL position
         idx = jnp.asarray(np.asarray(lens, np.int32) - 1)
         last = jnp.take_along_axis(
@@ -269,9 +315,7 @@ class ServingEngine:
             # KV in cache covers prompt + all generated EXCEPT the last token,
             # which is this step's input and is appended at this position
             cs[row] = len(s.prompt) + len(s.generated) - 1
-        logits, self.k_pool, self.v_pool = self._fwd(
-            self.params, self.k_pool, self.v_pool, jnp.asarray(toks),
-            jnp.asarray(cs), jnp.asarray(self._block_table(ids)))
+        logits = self._forward_step(toks, cs, self._block_table(ids))
         self._emit(ids, self._sample(logits[:len(ids), 0]), finished)
 
     def _emit(self, ids: List[int], tokens: np.ndarray, finished: List[int],

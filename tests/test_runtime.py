@@ -215,3 +215,23 @@ def test_engine_tensor_parallel_matches_single():
 
     for a, b in zip(r1, r2):
         assert out1[a] == out2[b], (out1[a], out2[b])
+
+
+def test_engine_int8_kv_pool():
+    """int8 page pool: greedy decode stays close to the bf16-pool engine
+    (scales quantize appended KV on the fly, kernels dequant in-tile)."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    prompts = [[3, 1, 4, 1, 5, 9], [2, 7, 1]]
+    ref = [_reference_generate(params, cfg, p, 6) for p in prompts]
+    eng = ServingEngine(params, cfg, max_batch=2, num_pages=16, page_size=8,
+                        kv_dtype=jnp.int8)
+    assert eng.quantized
+    rids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    out = eng.run_to_completion()
+    # int8 KV perturbs logits slightly; greedy argmax on a random tiny model
+    # can flip, so gate on per-token agreement instead of exact equality
+    agree = sum(a == b for r, bs in zip(rids, ref)
+                for a, b in zip(out[r], bs))
+    total = sum(len(b) for b in ref)
+    assert agree >= total - 2, (out, ref)
