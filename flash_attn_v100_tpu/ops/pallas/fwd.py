@@ -9,22 +9,30 @@ O += P.V  over KV tiles, returning O and LSE = m + log(l)
 Differences by design (TPU-first, not a translation):
   * Mosaic handles what the reference's WMMA/smem-swizzle machinery does by
     hand: MXU tiling, VMEM residency, pipelined HBM->VMEM DMA.
-  * The KV loop is a grid axis with "arbitrary" semantics; causal/window
-    block-range trimming (reference: include/template.h:98-111) becomes a
-    `pl.when` skip predicate.
+  * The (q-tile, kv-tile) iteration space is FLATTENED to the live pairs
+    only: shapes are static, so the causal/window block trim (reference:
+    include/template.h:98-111) is evaluated at trace time into prefetched
+    qi/ki index vectors — the grid never visits a fully-masked tile.  A
+    Pallas grid step costs ~0.5 us even fully predicated off, so on long
+    causal sequences this halves wall-clock versus a rectangular grid with
+    `pl.when` skips.
+  * softmax runs in the exp2 domain: without alibi/softcap the log2(e)
+    factor fuses with the softmax scale into a single multiply over the
+    scores tile; the stored LSE converts back to natural log.
+  * Fully-valid tiles take a fast path that skips the mask pipeline; partial
+    tiles use the block-local mask form (one static iota-diff + scalar
+    compares).
   * Compute layout is (B, H, M, D); the public wrapper permutes from
     (B, M, H, D) exactly like the reference
-    (flash_attn_v100/flash_attn_interface.py:36-53) — Pallas TPU requires the
-    last two block dims to be tile-aligned, which rules out blocking the
-    sequence axis of a (B, M, H, D) array with a singleton head dim.
+    (flash_attn_v100/flash_attn_interface.py:36-53).
   * GQA head mapping (kv_head = q_head // group, reference:
     include/template.h:58) lives in the K/V index_map.
-  * fp32 running (m, l, acc) in VMEM scratch; dropout is applied to the
-    unnormalized P tile, while l accumulates pre-dropout sums — the same
-    order as the reference (include/softmax.h:96-124: thread_sum before RNG).
-  * LSE is written as (B, H, M, 1) fp32 (lane-1 layout) and squeezed by the
-    wrapper — dense LSE layout parity: (B, H, M)
-    (reference: kernel/fused_mha_forward.cu:389-406).
+  * fp32 running (m, l, acc) in VMEM scratch; dropout applies to the
+    unnormalized P tile while l accumulates pre-dropout sums — the same
+    order as the reference (include/softmax.h:96-124).
+  * LSE is written as (B, H, M, 1) fp32 and squeezed by the wrapper — dense
+    LSE layout parity: (B, H, M) (reference: kernel/fused_mha_forward.cu:
+    389-406).
 """
 
 from __future__ import annotations
@@ -32,21 +40,54 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_v100_tpu.config import NEG_INF, use_interpret
-
-LOG2E = 1.4426950408889634  # 1/ln(2): softmax runs in the exp2 domain
-LN2 = 0.6931471805599453
 from flash_attn_v100_tpu.ops import philox
 from flash_attn_v100_tpu.ops.pallas.block_sizes import BlockSizes, MIN_LANES, cdiv, round_up
 from flash_attn_v100_tpu.ops.pallas import masks as masklib
 
+LOG2E = 1.4426950408889634  # 1/ln(2): softmax runs in the exp2 domain
+LN2 = 0.6931471805599453
+
+
+def live_pairs(num_q_blocks: int, num_kv_blocks: int, block_q: int,
+               block_k: int, offset: int, params: masklib.MaskParams):
+    """Static trace-time enumeration of the live (q-tile, kv-tile) pairs in
+    row-major order — the reference's BlockInfo range trim
+    (include/template.h:98-111) hoisted out of the device entirely.
+
+    Returns int32 numpy arrays (qi, ki, first, last).  A q tile whose whole
+    kv range is trimmed away still gets one placeholder pair so its output
+    rows are written (as O=0 / lse=-inf via the in-kernel mask)."""
+    wr = params.effective_window_right()
+    wl = params.window_left
+    qis, kis, firsts, lasts = [], [], [], []
+    for qi in range(num_q_blocks):
+        lo, hi = 0, num_kv_blocks - 1
+        if wr >= 0:
+            hi = min(hi, (qi * block_q + block_q - 1 + offset + wr) // block_k)
+        if wl >= 0:
+            lo = max(lo, (qi * block_q + offset - wl) // block_k)
+        if hi < lo:          # no live kv: placeholder, fully masked in-kernel
+            lo = hi = min(max(lo, 0), num_kv_blocks - 1)
+        lo = max(lo, 0)
+        for ki in range(lo, hi + 1):
+            qis.append(qi)
+            kis.append(ki)
+            firsts.append(1 if ki == lo else 0)
+            lasts.append(1 if ki == hi else 0)
+    return (np.asarray(qis, np.int32), np.asarray(kis, np.int32),
+            np.asarray(firsts, np.int32), np.asarray(lasts, np.int32))
+
 
 def _fwd_kernel(
+    # scalar prefetch: the flattened live-pair maps
+    qi_ref, ki_ref, first_ref, last_ref,
     *refs,
     params: masklib.MaskParams,
     softmax_scale: float,
@@ -56,7 +97,6 @@ def _fwd_kernel(
     num_heads: int,
     block_q: int,
     block_k: int,
-    num_kv_blocks: int,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -71,21 +111,20 @@ def _fwd_kernel(
         idx += 1
     q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[idx:]
 
-    b, h, qi, ki = (pl.program_id(i) for i in range(4))
+    b, h, t = (pl.program_id(i) for i in range(3))
+    qi = qi_ref[t]
+    ki = ki_ref[t]
     q_start = qi * block_q
     k_start = ki * block_k
     offset = seqlen_k - seqlen_q
     padded_q = seqlen_q % block_q != 0
     padded_k = seqlen_k % block_k != 0
 
-    @pl.when(ki == 0)
+    @pl.when(first_ref[t] == 1)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
-
-    run = masklib.block_overlaps(q_start, block_q, k_start, block_k, offset, params,
-                                 seqlen_k=seqlen_k)
 
     def body(masked: bool):
         q = q_ref[0, 0]
@@ -98,10 +137,7 @@ def _fwd_kernel(
         rows, cols = (masklib.position_ids(block_q, block_k, q_start, k_start)
                       if need_pos else (None, None))
         alibi_slope = slopes_ref[b, h] if has_alibi else None
-        # softmax runs in the exp2 domain (VPU exp2 beats exp, and without
-        # alibi/softcap the log2e factor FUSES with the softmax scale into a
-        # single multiply over the tile); m/l carries are base-2, the stored
-        # LSE converts back to natural log
+        # exp2-domain softmax (see module docstring)
         if has_alibi or params.softcap > 0.0:
             s = masklib.apply_score_bias(
                 s, rows, cols, softmax_scale=softmax_scale, offset=offset,
@@ -125,10 +161,9 @@ def _fwd_kernel(
 
         p = jnp.exp2(s - m_next[:, :1])
         if masked:
-            # exp2(NEG_INF - m): fine for partially masked rows (underflows
-            # to 0), but a FULLY masked row has m == NEG_INF too, giving
-            # exp2(0) == 1 — zero those so l stays 0 (reference early-exit
-            # semantics, kernel/fused_mha_forward_varlen.cu:100-111)
+            # a FULLY masked row has m == NEG_INF too, giving exp2(0) == 1 —
+            # zero those so l stays 0 (reference early-exit semantics,
+            # kernel/fused_mha_forward_varlen.cu:100-111)
             p = jnp.where(valid, p, 0.0)
 
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
@@ -150,26 +185,24 @@ def _fwd_kernel(
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     # fast path: tiles with no masked element skip the iota/compare/where
-    # pipeline — on long causal sequences that's most of the live tiles
+    # pipeline — the live-pair enumeration already removed fully-masked tiles
     if params.needs_position_mask or padded_q or padded_k:
         full = masklib.block_fully_valid(
             q_start, block_q, k_start, block_k, offset, params,
             seqlen_q=seqlen_q if padded_q else None,
             seqlen_k=seqlen_k if padded_k else None)
 
-        @pl.when(run & full)
+        @pl.when(full)
         def _fast():
             body(masked=False)
 
-        @pl.when(run & jnp.logical_not(full))
+        @pl.when(jnp.logical_not(full))
         def _masked():
             body(masked=True)
     else:
-        @pl.when(run)
-        def _all_fast():
-            body(masked=False)
+        body(masked=False)
 
-    @pl.when(ki == num_kv_blocks - 1)
+    @pl.when(last_ref[t] == 1)
     def _store():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
@@ -218,7 +251,9 @@ def flash_attn_dense_fwd(
 
     num_q_blocks = Mp // bq
     num_kv_blocks = Np // bk
-    grid = (B, Hq, num_q_blocks, num_kv_blocks)
+    qi_of, ki_of, first_of, last_of = live_pairs(
+        num_q_blocks, num_kv_blocks, bq, bk, N - M, params)
+    grid = (B, Hq, len(qi_of))
 
     in_specs = []
     inputs = []
@@ -231,30 +266,13 @@ def flash_attn_dense_fwd(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(dropout_seed.astype(jnp.uint32))
 
-    # clamp the kv block index into the live causal/window range of this q
-    # tile: skipped iterations then alias the previous block index, so the
-    # pipeline issues NO new DMA for them (the reference trims the loop range
-    # itself, include/template.h:98-111; a Pallas grid is static, so trimming
-    # becomes index aliasing + the `run` compute skip)
-    offset = N - M
-    wr = params.effective_window_right()
-    wl = params.window_left
-
-    def kv_idx(qi, ki):
-        if wr >= 0:
-            hi = jnp.maximum((qi * bq + bq - 1 + offset + wr) // bk, 0)
-            ki = jnp.minimum(ki, hi)
-        if wl >= 0:
-            lo = jnp.maximum((qi * bq + offset - wl) // bk, 0)
-            ki = jnp.maximum(ki, lo)
-        return ki
-
     in_specs += [
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, bq, D),
+                     lambda b, h, t, qi, ki, f, l: (b, h, qi[t], 0)),
         pl.BlockSpec((1, 1, bk, D),
-                     lambda b, h, qi, ki: (b, h // group, kv_idx(qi, ki), 0)),
+                     lambda b, h, t, qi, ki, f, l: (b, h // group, ki[t], 0)),
         pl.BlockSpec((1, 1, bk, D),
-                     lambda b, h, qi, ki: (b, h // group, kv_idx(qi, ki), 0)),
+                     lambda b, h, t, qi, ki, f, l: (b, h // group, ki[t], 0)),
     ]
     inputs += [qt, kt, vt]
 
@@ -263,8 +281,10 @@ def flash_attn_dense_fwd(
         jax.ShapeDtypeStruct((B, Hq, Mp, 1), jnp.float32),
     )
     out_specs = (
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
-        pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, bq, D),
+                     lambda b, h, t, qi, ki, f, l: (b, h, qi[t], 0)),
+        pl.BlockSpec((1, 1, bq, 1),
+                     lambda b, h, t, qi, ki, f, l: (b, h, qi[t], 0)),
     )
     scratch_shapes = [
         pltpu.VMEM((bq, MIN_LANES), jnp.float32),
@@ -276,21 +296,27 @@ def flash_attn_dense_fwd(
         _fwd_kernel,
         params=params, softmax_scale=softmax_scale, dropout_p=dropout_p,
         seqlen_q=M, seqlen_k=N, num_heads=Hq,
-        block_q=bq, block_k=bk, num_kv_blocks=num_kv_blocks,
+        block_q=bq, block_k=bk,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
 
     out, lse = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
+        grid_spec=grid_spec,
         out_shape=out_shape,
-        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(*inputs)
+    )(jnp.asarray(qi_of), jnp.asarray(ki_of), jnp.asarray(first_of),
+      jnp.asarray(last_of), *inputs)
 
     out = jnp.swapaxes(out[:, :, :M], 1, 2)
     lse = lse[:, :, :M, 0]
