@@ -44,16 +44,17 @@ class BlockSizes:
         (reference: include/forward.h:9-23): larger D -> smaller tiles to stay
         inside the VMEM budget; tiles never exceed the (padded) sequence."""
         if base is None:
-            # fwd tiles from a v5e sweep (benchmarks/sweep_dense.py shapes,
-            # 4k causal): D64 (1024,1024) 40 TF/s, D128 (512,1024) 74 TF/s,
-            # D256 (512,512) 85 TF/s — bigger q tiles amortize the per-step
-            # VPU softmax cost that dominates at small D
+            # fwd tiles from v5e sweeps (benchmarks/sweep_dense.py shapes,
+            # 4k, flattened-grid kernel): D64 (1024,1024) 43 TF/s causal;
+            # D128 (1024,1024) 83 causal / 124 full; D256 (512,512) 85 —
+            # bigger q tiles amortize the per-step VPU softmax cost that
+            # dominates at small D.
             # bwd tiles: 512-square measured best at D<=128 (45.5 TF/s
             # effective vs 37.7 at 256-square, same 4k shape)
             if head_dim <= 64:
                 base = BlockSizes(1024, 1024, 512, 512, 512, 512)
             elif head_dim <= 128:
-                base = BlockSizes(512, 1024, 512, 512, 512, 512)
+                base = BlockSizes(1024, 1024, 512, 512, 512, 512)
             else:
                 base = BlockSizes(512, 512, 128, 256, 256, 128)
 

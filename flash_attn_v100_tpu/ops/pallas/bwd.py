@@ -43,6 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import numpy as np
+
 from flash_attn_v100_tpu.config import NEG_INF, use_interpret
 from flash_attn_v100_tpu.ops import philox
 from flash_attn_v100_tpu.ops.pallas.block_sizes import BlockSizes, cdiv, round_up
@@ -50,6 +52,36 @@ from flash_attn_v100_tpu.ops.pallas import masks as masklib
 
 LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
+
+
+def live_pairs_dkv(num_q_blocks: int, num_kv_blocks: int, group: int,
+                   block_q: int, block_k: int, offset: int,
+                   params: masklib.MaskParams):
+    """Static enumeration of live (kv-tile, q-head-in-group, q-tile) triples
+    for the KV-centric backward — the transposed form of fwd.live_pairs.
+    Returns int32 arrays (ki, h_off=g, qi, first, last) ordered by ki."""
+    wr = params.effective_window_right()
+    wl = params.window_left
+    kis, gs, qis, firsts, lasts = [], [], [], [], []
+    for ki in range(num_kv_blocks):
+        lo, hi = 0, num_q_blocks - 1
+        if wr >= 0:
+            lo = max(lo, (ki * block_k - offset - wr) // block_q)
+        if wl >= 0:
+            hi = min(hi, (ki * block_k + block_k - 1 - offset + wl) // block_q)
+        if hi < lo:          # no live q: placeholder (masked body -> zeros)
+            lo = hi = min(max(lo, 0), num_q_blocks - 1)
+        lo = max(lo, 0)
+        for g in range(group):
+            for qi in range(lo, hi + 1):
+                kis.append(ki)
+                gs.append(g)
+                qis.append(qi)
+                firsts.append(1 if (g == 0 and qi == lo) else 0)
+                lasts.append(1 if (g == group - 1 and qi == hi) else 0)
+    return (np.asarray(kis, np.int32), np.asarray(gs, np.int32),
+            np.asarray(qis, np.int32), np.asarray(firsts, np.int32),
+            np.asarray(lasts, np.int32))
 
 
 def _grad_scores(p, p_drop, dov, delta_vals, s_nat, softmax_scale, params,
@@ -80,6 +112,8 @@ def _recompute_p(s, valid, lse_vals):
 # ======================================================================================
 
 def _dq_kernel(
+    # scalar prefetch: flattened live-pair maps (see fwd.live_pairs)
+    qi_ref, ki_ref, first_ref, last_ref,
     *refs,
     params: masklib.MaskParams,
     softmax_scale: float,
@@ -89,7 +123,6 @@ def _dq_kernel(
     num_heads: int,
     block_q: int,
     block_k: int,
-    num_kv_blocks: int,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -102,19 +135,18 @@ def _dq_kernel(
         seed_ref = refs[idx]; idx += 1
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc = refs[idx:]
 
-    b, h, qi, ki = (pl.program_id(i) for i in range(4))
+    b, h, t = (pl.program_id(i) for i in range(3))
+    qi = qi_ref[t]
+    ki = ki_ref[t]
     q_start = qi * block_q
     k_start = ki * block_k
     offset = seqlen_k - seqlen_q
     padded_q = seqlen_q % block_q != 0
     padded_k = seqlen_k % block_k != 0
 
-    @pl.when(ki == 0)
+    @pl.when(first_ref[t] == 1)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
-
-    run = masklib.block_overlaps(q_start, block_q, k_start, block_k, offset, params,
-                                 seqlen_k=seqlen_k)
 
     def body(masked: bool):
         q = q_ref[0, 0]
@@ -172,19 +204,17 @@ def _dq_kernel(
             seqlen_q=seqlen_q if padded_q else None,
             seqlen_k=seqlen_k if padded_k else None)
 
-        @pl.when(run & full)
+        @pl.when(full)
         def _fast():
             body(masked=False)
 
-        @pl.when(run & jnp.logical_not(full))
+        @pl.when(jnp.logical_not(full))
         def _masked():
             body(masked=True)
     else:
-        @pl.when(run)
-        def _all():
-            body(masked=False)
+        body(masked=False)
 
-    @pl.when(ki == num_kv_blocks - 1)
+    @pl.when(last_ref[t] == 1)
     def _store():
         dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
 
@@ -194,6 +224,8 @@ def _dq_kernel(
 # ======================================================================================
 
 def _dkv_kernel(
+    # scalar prefetch: flattened live-triple maps (see live_pairs_dkv)
+    ki_ref, g_ref, qi_ref, first_ref, last_ref,
     *refs,
     params: masklib.MaskParams,
     softmax_scale: float,
@@ -204,8 +236,6 @@ def _dkv_kernel(
     group: int,       # H_Q // H_K
     block_q: int,
     block_k: int,
-    num_q_blocks: int,
-    num_inner: int,   # group * num_q_blocks
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -218,23 +248,20 @@ def _dkv_kernel(
         seed_ref = refs[idx]; idx += 1
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs[idx:]
 
-    b, hk, ki, t = (pl.program_id(i) for i in range(4))
-    g = t // num_q_blocks
-    qi = t % num_q_blocks
-    h = hk * group + g
+    b, hk, t = (pl.program_id(i) for i in range(3))
+    ki = ki_ref[t]
+    qi = qi_ref[t]
+    h = hk * group + g_ref[t]
     q_start = qi * block_q
     k_start = ki * block_k
     offset = seqlen_k - seqlen_q
     padded_q = seqlen_q % block_q != 0
     padded_k = seqlen_k % block_k != 0
 
-    @pl.when(t == 0)
+    @pl.when(first_ref[t] == 1)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
-
-    run = masklib.block_overlaps(q_start, block_q, k_start, block_k, offset, params,
-                                 seqlen_k=seqlen_k)
 
     def body(masked: bool):
         q = q_ref[0, 0]
@@ -299,19 +326,17 @@ def _dkv_kernel(
             seqlen_q=seqlen_q if padded_q else None,
             seqlen_k=seqlen_k if padded_k else None)
 
-        @pl.when(run & full)
+        @pl.when(full)
         def _fast():
             body(masked=False)
 
-        @pl.when(run & jnp.logical_not(full))
+        @pl.when(jnp.logical_not(full))
         def _masked():
             body(masked=True)
     else:
-        @pl.when(run)
-        def _all():
-            body(masked=False)
+        body(masked=False)
 
-    @pl.when(t == num_inner - 1)
+    @pl.when(last_ref[t] == 1)
     def _store():
         dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
@@ -405,42 +430,41 @@ def flash_attn_dense_bwd(
     num_q_blocks, num_kv_blocks = Mp // bq, Np // bk
     feat_specs, feat_inputs = feature_specs()
 
-    # causal/window kv-range clamp (fwd.py's trick): skipped iterations alias
-    # the previous block index -> no DMA
-    def kv_idx(qi, ki):
-        if wr >= 0:
-            hi = jnp.maximum((qi * bq + bq - 1 + offset + wr) // bk, 0)
-            ki = jnp.minimum(ki, hi)
-        if wl >= 0:
-            lo = jnp.maximum((qi * bq + offset - wl) // bk, 0)
-            ki = jnp.maximum(ki, lo)
-        return ki
+    # flattened live-pair grid (same construction as the forward)
+    from flash_attn_v100_tpu.ops.pallas.fwd import live_pairs
+    qi_of, ki_of, first_of, last_of = live_pairs(
+        num_q_blocks, num_kv_blocks, bq, bk, offset, params)
 
+    qmap = lambda b, h, t, qi, ki, f, l: (b, h, qi[t], 0)
+    kmap = lambda b, h, t, qi, ki, f, l: (b, h // group, ki[t], 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, Hq, len(qi_of)),
+        in_specs=feat_specs + [
+            pl.BlockSpec((1, 1, bq, D), qmap),
+            pl.BlockSpec((1, 1, bk, D), kmap),
+            pl.BlockSpec((1, 1, bk, D), kmap),
+            pl.BlockSpec((1, 1, bq, D), qmap),
+            pl.BlockSpec((1, 1, bq, 1), qmap),
+            pl.BlockSpec((1, 1, bq, 1), qmap),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, D), qmap),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+    )
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel, params=params, softmax_scale=softmax_scale,
             dropout_p=dropout_p, seqlen_q=M, seqlen_k=N, num_heads=Hq,
-            block_q=bq, block_k=bk, num_kv_blocks=num_kv_blocks,
+            block_q=bq, block_k=bk,
         ),
-        grid=(B, Hq, num_q_blocks, num_kv_blocks),
-        in_specs=feat_specs + [
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, bk, D),
-                         lambda b, h, qi, ki: (b, h // group, kv_idx(qi, ki), 0)),
-            pl.BlockSpec((1, 1, bk, D),
-                         lambda b, h, qi, ki: (b, h // group, kv_idx(qi, ki), 0)),
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, bq, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, Mp, D), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(*feat_inputs, qp, kp, vp, dop, lsep, deltap)
+    )(jnp.asarray(qi_of), jnp.asarray(ki_of), jnp.asarray(first_of),
+      jnp.asarray(last_of), *feat_inputs, qp, kp, vp, dop, lsep, deltap)
     dq = jnp.swapaxes(dq[:, :, :M], 1, 2)
 
     # ---- dKV pass ----
@@ -454,63 +478,60 @@ def flash_attn_dense_bwd(
     deltap = _pad_seq(delta, Mp, 2)[:, :, None, :]
 
     num_q_blocks, num_kv_blocks = Mp // bq, Np // bk
-    num_inner = group * num_q_blocks
 
-    # q-range clamp per kv tile (transposed trim): under causal/window_right
-    # the live q tiles start at (k_start - offset - wr) and window_left caps
-    # them above
-    def q_idx(ki, qi):
-        if wr >= 0:
-            lo = jnp.maximum((ki * bk - offset - wr) // bq, 0)
-            qi = jnp.maximum(qi, lo)
-        if wl >= 0:
-            hi = jnp.maximum((ki * bk + bk - 1 - offset + wl) // bq, 0)
-            qi = jnp.minimum(qi, hi)
-        return qi
+    # flattened live-triple grid (transposed trim, GQA group innermost)
+    ki_of, g_of, qi_of, first_of, last_of = live_pairs_dkv(
+        num_q_blocks, num_kv_blocks, group, bq, bk, offset, params)
 
-    def qmap(b, hk, ki, t):
-        return (b, hk * group + t // num_q_blocks,
-                q_idx(ki, t % num_q_blocks), 0)
+    def qmap(b, hk, t, ki, g, qi, f, l):
+        return (b, hk * group + g[t], qi[t], 0)
 
-    def lmap(b, hk, ki, t):
-        return (b, hk * group + t // num_q_blocks, 0,
-                q_idx(ki, t % num_q_blocks))
+    def lmap(b, hk, t, ki, g, qi, f, l):
+        return (b, hk * group + g[t], 0, qi[t])
+
+    def kmap(b, hk, t, ki, g, qi, f, l):
+        return (b, hk, ki[t], 0)
 
     feat_specs, feat_inputs = feature_specs()
 
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _dkv_kernel, params=params, softmax_scale=softmax_scale,
-            dropout_p=dropout_p, seqlen_q=M, seqlen_k=N, num_heads=Hq,
-            group=group, block_q=bq, block_k=bk,
-            num_q_blocks=num_q_blocks, num_inner=num_inner,
-        ),
-        grid=(B, Hk, num_kv_blocks, num_inner),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(B, Hk, len(ki_of)),
         in_specs=feat_specs + [
             pl.BlockSpec((1, 1, bq, D), qmap),
-            pl.BlockSpec((1, 1, bk, D), lambda b, hk, ki, t: (b, hk, ki, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, hk, ki, t: (b, hk, ki, 0)),
+            pl.BlockSpec((1, 1, bk, D), kmap),
+            pl.BlockSpec((1, 1, bk, D), kmap),
             pl.BlockSpec((1, 1, bq, D), qmap),
             pl.BlockSpec((1, 1, 1, bq), lmap),
             pl.BlockSpec((1, 1, 1, bq), lmap),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, bk, D), lambda b, hk, ki, t: (b, hk, ki, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, hk, ki, t: (b, hk, ki, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, Hk, Np, D), k.dtype),
-            jax.ShapeDtypeStruct((B, Hk, Np, D), v.dtype),
+            pl.BlockSpec((1, 1, bk, D), kmap),
+            pl.BlockSpec((1, 1, bk, D), kmap),
         ),
         scratch_shapes=[
             pltpu.VMEM((bk, D), jnp.float32),
             pltpu.VMEM((bk, D), jnp.float32),
         ],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, params=params, softmax_scale=softmax_scale,
+            dropout_p=dropout_p, seqlen_q=M, seqlen_k=N, num_heads=Hq,
+            group=group, block_q=bq, block_k=bk,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hk, Np, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hk, Np, D), v.dtype),
+        ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(*feat_inputs, qp, kp, vp, dop, lsep, deltap)
+    )(jnp.asarray(ki_of), jnp.asarray(g_of), jnp.asarray(qi_of),
+      jnp.asarray(first_of), jnp.asarray(last_of),
+      *feat_inputs, qp, kp, vp, dop, lsep, deltap)
     dk = jnp.swapaxes(dk[:, :, :N], 1, 2)
     dv = jnp.swapaxes(dv[:, :, :N], 1, 2)
 
