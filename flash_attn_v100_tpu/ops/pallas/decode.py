@@ -195,11 +195,19 @@ def _decode_kernel(
         lse_ref[0, :, 0] = lse.astype(jnp.float32)
 
 
-def _pick_head_block(Hk: int, page_size: int, D: int, itemsize: int) -> int:
+def _pick_head_block(Hk: int, page_size: int, D: int, itemsize: int,
+                     rq: int) -> int:
     """Heads folded per grid step: amortize fixed per-step cost while keeping
-    the double-buffered K+V stream within a VMEM budget (~4 MB)."""
-    budget = 4 * 1024 * 1024
-    per_head = 2 * 2 * page_size * D * itemsize   # k+v, double-buffered
+    the per-step VMEM working set within budget.  Counts the double-buffered
+    K+V stream AND the Rq-dependent buffers (q tile, fp32 accumulator,
+    double-buffered fp32 partial outputs) — at prefill-sized Rq the latter
+    dominate and the fold must shrink."""
+    budget = 8 * 1024 * 1024
+    per_head = (2 * 2 * page_size * D * itemsize   # k+v, double-buffered
+                + rq * D * 2                        # q tile (bf16)
+                + rq * D * 4                        # fp32 acc scratch
+                + 2 * 2 * rq * D * 4                # o_part + staging, f32 x2
+                + 3 * rq * MIN_LANES * 4)           # m/l scratch + lse
     hb = max(1, min(Hk, budget // max(per_head, 1)))
     while Hk % hb:
         hb -= 1
@@ -248,7 +256,7 @@ def paged_decode_attention(
     if out_dtype is None:
         out_dtype = jnp.float32
 
-    hb = _pick_head_block(Hk, page_size, D, k_pages.dtype.itemsize)
+    hb = _pick_head_block(Hk, page_size, D, k_pages.dtype.itemsize, Rq)
     nhb = Hk // hb
 
     S = num_splits
