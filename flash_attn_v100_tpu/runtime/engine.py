@@ -146,12 +146,18 @@ class ServingEngine:
                  greedy: bool = True, temperature: float = 1.0,
                  rng_seed: int = 0, use_native: bool = True,
                  mesh=None, kv_dtype=None,
+                 eos_token_id: Optional[int] = None,
+                 eos_check_interval: int = 8,
                  interpret: Optional[bool] = None):
         """`mesh`: a jax.sharding.Mesh for tensor-parallel decode — KV heads
         and their page pools shard over the "model" axis; `params` must
         already be placed with `models.transformer.param_shardings`.
         `kv_dtype`: jnp.int8 / jnp.float8_e4m3fn for a quantized page pool
-        (half/quarter HBM per token; appended KV quantizes on the fly)."""
+        (half/quarter HBM per token; appended KV quantizes on the fly).
+        `eos_token_id`: stop sequences at this token; checked every
+        `eos_check_interval` steps with one batched device fetch, so a
+        sequence may run up to interval-1 tokens past its EOS before being
+        reaped (its output is still truncated exactly at the EOS)."""
         if cfg.max_seq_len % page_size:
             raise ValueError("page_size must divide cfg.max_seq_len")
         self.params = params
@@ -187,6 +193,8 @@ class ServingEngine:
         self.temperature = temperature
         self._rng = jax.random.PRNGKey(rng_seed)
         self._prev_tok = None               # last step's (max_batch,) tokens
+        self.eos_token_id = eos_token_id
+        self.eos_check_interval = max(1, eos_check_interval)
         # steady-state decode caches: (ids, page_counts, bt_dev, cs_dev);
         # device constants for the identity token gather
         self._steady = None
@@ -323,7 +331,37 @@ class ServingEngine:
         for sid in finished:
             self.sched.finish(sid)
             self._seqs[sid].done = True
+        if (self.eos_token_id is not None
+                and self.metrics["steps"] % self.eos_check_interval == 0):
+            finished += self._reap_eos(batch)
         return finished
+
+    def _reap_eos(self, batch) -> List[int]:
+        """Periodic EOS sweep: ONE batched fetch of every pending token
+        array, then finish sequences whose output contains the EOS (truncated
+        exactly at it)."""
+        running = [sid for sid, _ in batch if not self._seqs[sid].done]
+        uniq = {}
+        for sid in running:
+            for e in self._seqs[sid].generated:
+                if not isinstance(e, int):
+                    uniq.setdefault(id(e[0]), e[0])
+        fetched = ({k: v for k, v in zip(uniq, jax.device_get(list(uniq.values())))}
+                   if uniq else {})
+        reaped = []
+        for sid in running:
+            s = self._seqs[sid]
+            s.generated = [e if isinstance(e, int)
+                           else int(fetched[id(e[0])][e[1]])
+                           for e in s.generated]
+            if self.eos_token_id in s.generated:
+                s.generated = s.generated[:s.generated.index(self.eos_token_id) + 1]
+                self.sched.finish(sid)
+                s.done = True
+                reaped.append(sid)
+        if reaped:
+            self._steady = None   # batch composition changes next step
+        return reaped
 
     def run_to_completion(self, max_steps: int = 100_000) -> Dict[int, List[int]]:
         out = {}

@@ -147,3 +147,31 @@ def test_deterministic_warns(rng):
     q, k, v = make_qkv(rng, 1, 16, 16, 1, 1, 16)
     with pytest.warns(RuntimeWarning):
         flash_attn_func(q, k, v, deterministic=True)
+
+
+def test_causal_m_greater_n_fully_masked_rows(rng):
+    """M > N causal: early q rows attend NOTHING (bottom-right alignment).
+    Exercises the flattened grid's placeholder pairs — those rows must
+    produce O = 0 and lse = -inf, not garbage (reference early-exit
+    semantics, kernel/fused_mha_forward_varlen.cu:100-111)."""
+    from flash_attn_v100_tpu.ops.pallas.block_sizes import BlockSizes
+    B, Hq, Hk, M, N, D = 1, 2, 2, 256, 64, 64
+    q, k, v = make_qkv(rng, B, M, N, Hq, Hk, D)
+    bs = BlockSizes(block_q=64, block_k=64)
+    out, lse, _ = flash_attn_func(q, k, v, causal=True, block_sizes=bs,
+                                  return_attn_probs=True)
+    offset = N - M  # -192: rows < 192 have no keys
+    dead = np.asarray(out)[:, :192]
+    assert np.all(dead == 0), "fully masked rows must be zero"
+    assert np.all(np.isneginf(np.asarray(lse)[:, :, :192]))
+    # live rows match the oracle
+    ref32 = mha_reference(q, k, v, causal=True, upcast=True)
+    refnat = mha_reference(q, k, v, causal=True, upcast=False)
+    assert_fwd_close(out[:, 192:], ref32[:, 192:], refnat[:, 192:])
+    # gradients flow only through live rows
+    do = jnp.asarray(rng.standard_normal(out.shape), q.dtype)
+    dq = jax.grad(lambda q: (flash_attn_func(q, k, v, causal=True,
+                                             block_sizes=bs) * do)
+                  .astype(jnp.float32).sum())(q)
+    assert np.all(np.asarray(dq)[:, :192] == 0)
+    assert np.isfinite(np.asarray(dq)).all()

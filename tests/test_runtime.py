@@ -235,3 +235,21 @@ def test_engine_int8_kv_pool():
                 for a, b in zip(out[r], bs))
     total = sum(len(b) for b in ref)
     assert agree >= total - 2, (out, ref)
+
+
+def test_engine_eos_reaping():
+    """EOS stops a sequence (checked in periodic batched sweeps); output is
+    truncated exactly at the EOS token."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    prompt = [3, 1, 4, 1, 5]
+    ref = _reference_generate(params, cfg, prompt, 10)
+    eos = ref[3]          # will be produced at step 4
+    eng = ServingEngine(params, cfg, max_batch=2, num_pages=16, page_size=8,
+                        eos_token_id=eos, eos_check_interval=2)
+    rid = eng.submit(prompt, max_new_tokens=10)
+    out = eng.run_to_completion()
+    expect = ref[:ref.index(eos) + 1]
+    assert out[rid] == expect, (out[rid], expect)
+    # scheduler slot freed by the reap
+    assert eng.sched.stats()["running"] == 0
