@@ -55,7 +55,7 @@ from flash_attn_v100_tpu.ops.pallas import masks as masklib
 
 def _decode_kernel(
     # scalar prefetch
-    tbl_ref,      # (B, S*nb) int32 page table (padded)
+    tbl_ref,      # (B, S*nbU*U) int32 page table (padded)
     lens_ref,     # (B,) int32 cache_seqlens (valid tokens incl. appended)
     lp_ref,       # (B,) int32 leftpad
     # tensors
@@ -69,18 +69,17 @@ def _decode_kernel(
     blocks_per_split: int,
     quantized: bool,
     int8_qk: bool,
+    unroll: int,
 ):
     has_alibi = params.has_alibi
     idx = 0
     slopes_ref = None
     if has_alibi:
         slopes_ref = refs[idx]; idx += 1
-    if quantized:
-        (q_ref, k_ref, ks_ref, v_ref, vs_ref,
-         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs[idx:]
-    else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[idx:]
-        ks_ref = vs_ref = None
+    per = 4 if quantized else 2
+    kv_refs = refs[idx + 1: idx + 1 + per * unroll]
+    q_ref = refs[idx]
+    o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[idx + 1 + per * unroll:]
 
     b, hb, s, ki = (pl.program_id(i) for i in range(4))
 
@@ -93,18 +92,47 @@ def _decode_kernel(
     lp = lp_ref[b]
     cs = lens_ref[b]                    # valid tokens after leftpad (incl. new)
     eff_end = lp + cs                   # cache rows [lp, eff_end) are live
-    j_start = (s * blocks_per_split + ki) * page_size
 
-    run = (j_start < eff_end) & (j_start + page_size > lp)
-    if params.window_left >= 0:
-        # oldest token any q row may see: (cs - t_new) - window_left
-        run &= j_start + page_size > lp + (cs - t_new) - params.window_left
+    for u in range(unroll):
+        if quantized:
+            k_ref, ks_ref, v_ref, vs_ref = kv_refs[per * u: per * (u + 1)]
+        else:
+            k_ref, v_ref = kv_refs[per * u: per * (u + 1)]
+            ks_ref = vs_ref = None
+        j_start = ((s * blocks_per_split + ki) * unroll + u) * page_size
+
+        run = (j_start < eff_end) & (j_start + page_size > lp)
+        if params.window_left >= 0:
+            # oldest token any q row may see: (cs - t_new) - window_left
+            run &= j_start + page_size > lp + (cs - t_new) - params.window_left
+        _decode_page_update(
+            run, q_ref, k_ref, ks_ref, v_ref, vs_ref, m_scr, l_scr, acc_scr,
+            slopes_ref, j_start, lp, cs,
+            params=params, softmax_scale=softmax_scale, t_new=t_new,
+            group=group, rq=rq, page_size=page_size,
+            quantized=quantized, int8_qk=int8_qk)
+
+    @pl.when(ki == blocks_per_split - 1)
+    def _store():
+        l = l_scr[:, :, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, :, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, -jnp.inf,
+                        m_scr[:, :, :1] + jnp.log(l_scr[:, :, :1]))
+        lse_ref[0, :, 0] = lse.astype(jnp.float32)
+
+
+def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+                        m_scr, l_scr, acc_scr, slopes_ref, j_start, lp, cs,
+                        *, params, softmax_scale, t_new, group, rq,
+                        page_size, quantized, int8_qk):
+    """Online-softmax update of (m, l, acc) scratch with one KV page."""
+    has_alibi = params.has_alibi
 
     @pl.when(run)
     def _compute():
         q = q_ref[0]                   # (hb, rq, D)
         k = k_ref[0, :, 0]             # (hb, ps, D)
-        hb_n = q.shape[0]
         if quantized and int8_qk:
             # int8 x int8 MXU path: quantize q rows in-register; k stays as
             # loaded.  S = (q8 k8^T) * q_scale_row * k_scale_col.
@@ -185,15 +213,6 @@ def _decode_kernel(
                                      preferred_element_type=jnp.float32)
         acc_scr[...] = acc_scr[...] * alpha[:, :, :1] + pv
 
-    @pl.when(ki == blocks_per_split - 1)
-    def _store():
-        l = l_scr[:, :, :1]
-        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, :, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        lse = jnp.where(l == 0.0, -jnp.inf,
-                        m_scr[:, :, :1] + jnp.log(l_scr[:, :, :1]))
-        lse_ref[0, :, 0] = lse.astype(jnp.float32)
-
 
 def _pick_head_block(Hk: int, page_size: int, D: int, itemsize: int,
                      rq: int) -> int:
@@ -238,6 +257,7 @@ def paged_decode_attention(
     out_dtype=None,
     interpret: Optional[bool] = None,
     int8_matmul: Optional[bool] = None,
+    kv_unroll: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Split-KV paged attention core.
 
@@ -265,16 +285,33 @@ def paged_decode_attention(
         S = max(1, min(8 // max(B * nhb, 1), max_pages))
     S = min(S, max_pages)
     nb = cdiv(max_pages, S)
+
+    # KV-page unroll: the ~0.5 us fixed per-grid-step cost is what separates
+    # small-page decode from the HBM roofline (measured v5e: int8 ps=256 at
+    # 66% vs ps=512 at 95%).  Process U pages per grid step as U independent
+    # scalar-prefetched DMA streams so the fixed cost amortizes; target >=
+    # ~1 MB of streamed KV per step.
+    U = kv_unroll if kv_unroll else 1
+    if kv_unroll is None:
+        per_page = 2 * hb * page_size * D * k_pages.dtype.itemsize
+        while U < 8 and per_page * U < (1 << 20) and U * 2 <= nb:
+            U *= 2
+        while U > 1 and 2 * per_page * U > (12 << 20):
+            U //= 2
+    nbU = cdiv(nb, U)
+
     tbl = block_table
-    if S * nb != max_pages:
-        tbl = jnp.pad(block_table, ((0, 0), (0, S * nb - max_pages)))
+    if S * nbU * U != max_pages:
+        tbl = jnp.pad(block_table, ((0, 0), (0, S * nbU * U - max_pages)))
     tbl = tbl.astype(jnp.int32)
 
-    grid = (B, nhb, S, nb)
+    grid = (B, nhb, S, nbU)
 
-    def kmap(b, h, s, ki, tbl_ref, lens_ref, lp_ref):
-        p = tbl_ref[b, s * nb + ki]
-        return (p // C2, h, p % C2, 0, 0)
+    def kmap_u(u):
+        def kmap(b, h, s, ki, tbl_ref, lens_ref, lp_ref):
+            p = tbl_ref[b, (s * nbU + ki) * U + u]
+            return (p // C2, h, p % C2, 0, 0)
+        return kmap
 
     in_specs = []
     inputs = []
@@ -285,19 +322,25 @@ def paged_decode_attention(
     in_specs.append(pl.BlockSpec(
         (1, hb, Rq, D), lambda b, h, s, ki, *_: (b, h, 0, 0)))
     inputs.append(q_rows)
-    in_specs.append(pl.BlockSpec((1, hb, 1, page_size, D), kmap))
-    inputs.append(k_pages)
+    ks_r = vs_r = None
     if quantized:
         # scales fed as (..., 1, ps) row vectors: the kernel multiplies the
         # (hb, rq, ps) score/P tiles by them directly — a (ps,1)->(1,ps)
         # relayout inside the kernel would dominate the whole tile cost
-        in_specs.append(pl.BlockSpec((1, hb, 1, 1, page_size), kmap))
-        inputs.append(k_scales.reshape(k_scales.shape[:3] + (1, page_size)))
-    in_specs.append(pl.BlockSpec((1, hb, 1, page_size, D), kmap))
-    inputs.append(v_pages)
-    if quantized:
-        in_specs.append(pl.BlockSpec((1, hb, 1, 1, page_size), kmap))
-        inputs.append(v_scales.reshape(v_scales.shape[:3] + (1, page_size)))
+        ks_r = k_scales.reshape(k_scales.shape[:3] + (1, page_size))
+        vs_r = v_scales.reshape(v_scales.shape[:3] + (1, page_size))
+    for u in range(U):
+        km = kmap_u(u)
+        in_specs.append(pl.BlockSpec((1, hb, 1, page_size, D), km))
+        inputs.append(k_pages)
+        if quantized:
+            in_specs.append(pl.BlockSpec((1, hb, 1, 1, page_size), km))
+            inputs.append(ks_r)
+        in_specs.append(pl.BlockSpec((1, hb, 1, page_size, D), km))
+        inputs.append(v_pages)
+        if quantized:
+            in_specs.append(pl.BlockSpec((1, hb, 1, 1, page_size), km))
+            inputs.append(vs_r)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -320,8 +363,8 @@ def paged_decode_attention(
         functools.partial(
             _decode_kernel,
             params=params, softmax_scale=softmax_scale, t_new=t_new,
-            group=group, rq=Rq, page_size=page_size, blocks_per_split=nb,
-            quantized=quantized, int8_qk=int8_qk,
+            group=group, rq=Rq, page_size=page_size, blocks_per_split=nbU,
+            quantized=quantized, int8_qk=int8_qk, unroll=U,
         ),
         grid_spec=grid_spec,
         out_shape=(
