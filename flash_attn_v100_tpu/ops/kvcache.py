@@ -74,6 +74,8 @@ def flash_attn_with_kvcache(
     v_scales: Optional[jnp.ndarray] = None,
     kv_cache_layout: str = "NHD",
     interpret: Optional[bool] = None,
+    q_position_lens: Optional[jnp.ndarray] = None,
+    append_window: Optional[Tuple] = None,
 ):
     """See module docstring.  `k_scales`/`v_scales` (same layout as the
     caches, head_dim axis collapsed to 1) mark the caches as INT8/FP8
@@ -140,6 +142,8 @@ def flash_attn_with_kvcache(
     if isinstance(cache_seqlens, int):
         cache_seqlens = jnp.full((B,), cache_seqlens, jnp.int32)
     cache_seqlens = jnp.asarray(cache_seqlens, jnp.int32)
+    qlens = (cache_seqlens if q_position_lens is None
+             else jnp.asarray(q_position_lens, jnp.int32))
     leftpad = (jnp.zeros((B,), jnp.int32) if cache_leftpad is None
                else jnp.asarray(cache_leftpad, jnp.int32))
     bidx = (jnp.arange(B, dtype=jnp.int32) if cache_batch_idx is None
@@ -149,13 +153,13 @@ def flash_attn_with_kvcache(
     local = window_size[0] >= 0 or window_size[1] >= 0
     if rotary_cos is not None:
         if causal or local:
-            pos_q = cache_seqlens[:, None] + jnp.arange(T_new, dtype=jnp.int32)
+            pos_q = qlens[:, None] + jnp.arange(T_new, dtype=jnp.int32)
         else:
-            pos_q = jnp.broadcast_to(cache_seqlens[:, None], (B, T_new))
+            pos_q = jnp.broadcast_to(qlens[:, None], (B, T_new))
         q = apply_rotary_emb(q, rotary_cos, rotary_sin, pos_q,
                              interleaved=rotary_interleaved)
         if k is not None:
-            pos_k = cache_seqlens[:, None] + jnp.arange(T_new, dtype=jnp.int32)
+            pos_k = qlens[:, None] + jnp.arange(T_new, dtype=jnp.int32)
             k = apply_rotary_emb(k, rotary_cos, rotary_sin, pos_k,
                                  interleaved=rotary_interleaved)
 
@@ -166,37 +170,60 @@ def flash_attn_with_kvcache(
         # quantize after rotary, per (token, head)
         k_q, k_s = quantize_kv(k, kc.dtype)
         v_q, v_s = quantize_kv(v, vc.dtype)
+    scatter_mode = "drop" if append_window is not None else None
     if appended:
-        pos = cache_seqlens[:, None] + jnp.arange(T_new, dtype=jnp.int32)  # (B,T)
+        pos = qlens[:, None] + jnp.arange(T_new, dtype=jnp.int32)  # (B,T)
+        if append_window is not None:
+            shard_start, shard_len = append_window
+            pos = pos - shard_start          # local frame; OOB rows dropped
+            in_shard = (pos >= 0) & (pos < shard_len)
         if paged:
-            page_ids = jnp.take_along_axis(block_table.astype(jnp.int32),
-                                           pos // page_size, axis=1)  # (B,T)
+            col = pos // page_size
+            page_ids = jnp.take_along_axis(
+                block_table.astype(jnp.int32),
+                jnp.clip(col, 0, block_table.shape[1] - 1), axis=1)  # (B,T)
+            if append_window is not None:
+                # a huge index is dropped by mode="drop"; -1 would WRAP
+                page_ids = jnp.where(in_shard, page_ids, jnp.int32(2 ** 30))
             off = pos % page_size
             h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, None, :]
             if quantized:
-                kc = kc.at[h_ix, page_ids[..., None], off[..., None]].set(k_q)
-                vc = vc.at[h_ix, page_ids[..., None], off[..., None]].set(v_q)
-                ksc = ksc.at[h_ix, page_ids[..., None], off[..., None]].set(k_s)
-                vsc = vsc.at[h_ix, page_ids[..., None], off[..., None]].set(v_s)
+                kc = kc.at[h_ix, page_ids[..., None], off[..., None]].set(
+                    k_q, mode=scatter_mode)
+                vc = vc.at[h_ix, page_ids[..., None], off[..., None]].set(
+                    v_q, mode=scatter_mode)
+                ksc = ksc.at[h_ix, page_ids[..., None], off[..., None]].set(
+                    k_s, mode=scatter_mode)
+                vsc = vsc.at[h_ix, page_ids[..., None], off[..., None]].set(
+                    v_s, mode=scatter_mode)
             else:
                 kc = kc.at[h_ix, page_ids[..., None], off[..., None]].set(
-                    k.astype(kc.dtype))
+                    k.astype(kc.dtype), mode=scatter_mode)
                 vc = vc.at[h_ix, page_ids[..., None], off[..., None]].set(
-                    v.astype(vc.dtype))
+                    v.astype(vc.dtype), mode=scatter_mode)
         else:
             rows = pos + leftpad[:, None]
+            if append_window is not None:
+                # a huge index is dropped by mode="drop"; -1 would WRAP
+                rows = jnp.where(in_shard, rows, jnp.int32(2 ** 30))
             b_ix = bidx[:, None, None]
             h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, :, None]
             if quantized:
-                kc = kc.at[b_ix, h_ix, rows[:, None, :]].set(jnp.swapaxes(k_q, 1, 2))
-                vc = vc.at[b_ix, h_ix, rows[:, None, :]].set(jnp.swapaxes(v_q, 1, 2))
-                ksc = ksc.at[b_ix, h_ix, rows[:, None, :]].set(jnp.swapaxes(k_s, 1, 2))
-                vsc = vsc.at[b_ix, h_ix, rows[:, None, :]].set(jnp.swapaxes(v_s, 1, 2))
+                kc = kc.at[b_ix, h_ix, rows[:, None, :]].set(
+                    jnp.swapaxes(k_q, 1, 2), mode=scatter_mode)
+                vc = vc.at[b_ix, h_ix, rows[:, None, :]].set(
+                    jnp.swapaxes(v_q, 1, 2), mode=scatter_mode)
+                ksc = ksc.at[b_ix, h_ix, rows[:, None, :]].set(
+                    jnp.swapaxes(k_s, 1, 2), mode=scatter_mode)
+                vsc = vsc.at[b_ix, h_ix, rows[:, None, :]].set(
+                    jnp.swapaxes(v_s, 1, 2), mode=scatter_mode)
             else:
                 kt_new = jnp.swapaxes(k, 1, 2)  # (B, Hk, T, D)
                 vt_new = jnp.swapaxes(v, 1, 2)
-                kc = kc.at[b_ix, h_ix, rows[:, None, :]].set(kt_new.astype(kc.dtype))
-                vc = vc.at[b_ix, h_ix, rows[:, None, :]].set(vt_new.astype(vc.dtype))
+                kc = kc.at[b_ix, h_ix, rows[:, None, :]].set(
+                    kt_new.astype(kc.dtype), mode=scatter_mode)
+                vc = vc.at[b_ix, h_ix, rows[:, None, :]].set(
+                    vt_new.astype(vc.dtype), mode=scatter_mode)
 
     lens_total = cache_seqlens + (T_new if appended else 0)
 
@@ -263,8 +290,13 @@ def flash_attn_with_kvcache(
             sr = jnp.pad(sr, ((0, 0), (0, 0), (0, Rq - group * T_new)))
         slopes_rows = sr[..., None]
 
+    # q token positions: bottom-right aligned against the live kv extent —
+    # the first new token sits at lens_total - T_new (== the pre-append
+    # cache_seqlens when appending; reference: fused_mha_forward_kvcache.cu
+    # :177).  In the q-position frame that is qlens - (0 if appended else T).
     o_part, lse_part = paged_decode_attention(
         q_rows, pool_k, pool_v, tbl, lens_total, leftpad,
+        qpos_vec=qlens - (0 if appended else T_new),
         softmax_scale=float(softmax_scale), params=params,
         t_new=T_new, group=group, num_splits=num_splits,
         alibi_slopes_rows=slopes_rows,

@@ -123,6 +123,7 @@ def _dq_kernel(
     num_heads: int,
     block_q: int,
     block_k: int,
+    offset: int,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -140,7 +141,6 @@ def _dq_kernel(
     ki = ki_ref[t]
     q_start = qi * block_q
     k_start = ki * block_k
-    offset = seqlen_k - seqlen_q
     padded_q = seqlen_q % block_q != 0
     padded_k = seqlen_k % block_k != 0
 
@@ -178,15 +178,21 @@ def _dq_kernel(
                 block_q, block_k, q_start, k_start, offset, params,
                 seqlen_q=seqlen_q if padded_q else None,
                 seqlen_k=seqlen_k if padded_k else None)
+            # unlike the forward, s is NOT pre-masked to NEG_INF here —
+            # this where IS the mask (p would be nonzero for masked cols)
             p = jnp.where(valid, p, 0.0)
 
         dov = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
 
         if has_dropout:
-            bh = b * num_heads + h
-            keep = philox.dropout_keep_mask(rows, cols, bh,
-                                            seed_ref[0], seed_ref[1], dropout_p)
+            # seed_ref (6,): [s0, s1, q_pos0, k_pos0, b0, h0] — global keying
+            bh = (b + seed_ref[4].astype(jnp.int32)) * num_heads \
+                + (h + seed_ref[5].astype(jnp.int32))
+            keep = philox.dropout_keep_mask(
+                rows + seed_ref[2].astype(jnp.int32),
+                cols + seed_ref[3].astype(jnp.int32), bh,
+                seed_ref[0], seed_ref[1], dropout_p)
             p_drop = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
         else:
             p_drop = p
@@ -236,6 +242,7 @@ def _dkv_kernel(
     group: int,       # H_Q // H_K
     block_q: int,
     block_k: int,
+    offset: int,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -254,7 +261,6 @@ def _dkv_kernel(
     h = hk * group + g_ref[t]
     q_start = qi * block_q
     k_start = ki * block_k
-    offset = seqlen_k - seqlen_q
     padded_q = seqlen_q % block_q != 0
     padded_k = seqlen_k % block_k != 0
 
@@ -302,9 +308,12 @@ def _dkv_kernel(
                                    preferred_element_type=jnp.float32)  # (bk, bq)
 
         if has_dropout:
-            bh = b * num_heads + h
-            keep = philox.dropout_keep_mask(qpos, kpos, bh,
-                                            seed_ref[0], seed_ref[1], dropout_p)
+            bh = (b + seed_ref[4].astype(jnp.int32)) * num_heads \
+                + (h + seed_ref[5].astype(jnp.int32))
+            keep = philox.dropout_keep_mask(
+                qpos + seed_ref[2].astype(jnp.int32),
+                kpos + seed_ref[3].astype(jnp.int32), bh,
+                seed_ref[0], seed_ref[1], dropout_p)
             pt_drop = jnp.where(keep, pt * (1.0 / (1.0 - dropout_p)), 0.0)
         else:
             pt_drop = pt
@@ -370,6 +379,9 @@ def flash_attn_dense_bwd(
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     dlse: Optional[jnp.ndarray] = None,  # (B, Hq, M) cotangent of lse
+    offset: Optional[int] = None,
+    pos_base=None,  # (q0, k0, b0, h0) traced int32 scalars (ring attention)
+    num_heads_total: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (dq, dk, dv) in the input layouts/dtypes.
 
@@ -401,11 +413,15 @@ def flash_attn_dense_bwd(
     # min(., 0)), but keep NEG_INF-clamped finite arithmetic.
     lse2 = jnp.maximum(lse, NEG_INF) * LOG2E
 
-    offset = N - M
+    if offset is None:
+        offset = N - M
+    if num_heads_total is None:
+        num_heads_total = Hq
     wr = params.effective_window_right()
     wl = params.window_left
 
     def feature_specs():
+        from flash_attn_v100_tpu.ops.pallas.fwd import build_seed_vec
         in_specs, inputs = [], []
         if params.has_alibi:
             assert alibi_slopes is not None and alibi_slopes.shape == (B, Hq)
@@ -414,7 +430,7 @@ def flash_attn_dense_bwd(
         if dropout_p > 0.0:
             assert dropout_seed is not None
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-            inputs.append(dropout_seed.astype(jnp.uint32))
+            inputs.append(build_seed_vec(dropout_seed, pos_base))
         return in_specs, inputs
 
     # ---- dQ pass ----
@@ -454,8 +470,8 @@ def flash_attn_dense_bwd(
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel, params=params, softmax_scale=softmax_scale,
-            dropout_p=dropout_p, seqlen_q=M, seqlen_k=N, num_heads=Hq,
-            block_q=bq, block_k=bk,
+            dropout_p=dropout_p, seqlen_q=M, seqlen_k=N,
+            num_heads=num_heads_total, block_q=bq, block_k=bk, offset=offset,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, Mp, D), q.dtype),
@@ -517,8 +533,9 @@ def flash_attn_dense_bwd(
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_kernel, params=params, softmax_scale=softmax_scale,
-            dropout_p=dropout_p, seqlen_q=M, seqlen_k=N, num_heads=Hq,
-            group=group, block_q=bq, block_k=bk,
+            dropout_p=dropout_p, seqlen_q=M, seqlen_k=N,
+            num_heads=num_heads_total, group=group, block_q=bq, block_k=bk,
+            offset=offset,
         ),
         grid_spec=grid_spec,
         out_shape=(

@@ -58,6 +58,9 @@ def _decode_kernel(
     tbl_ref,      # (B, S*nbU*U) int32 page table (padded)
     lens_ref,     # (B,) int32 cache_seqlens (valid tokens incl. appended)
     lp_ref,       # (B,) int32 leftpad
+    qpos_ref,     # (B,) int32 position of the first NEW token in the kv
+                  #   frame of this kernel call (seq-shards pass
+                  #   global_len - shard_start; else lens - t_new)
     # tensors
     *refs,
     params: masklib.MaskParams,
@@ -103,11 +106,12 @@ def _decode_kernel(
 
         run = (j_start < eff_end) & (j_start + page_size > lp)
         if params.window_left >= 0:
-            # oldest token any q row may see: (cs - t_new) - window_left
-            run &= j_start + page_size > lp + (cs - t_new) - params.window_left
+            # oldest token any q row may see: qpos_base - window_left
+            run &= (j_start + page_size
+                    > lp + qpos_ref[b] - params.window_left)
         _decode_page_update(
             run, q_ref, k_ref, ks_ref, v_ref, vs_ref, m_scr, l_scr, acc_scr,
-            slopes_ref, j_start, lp, cs,
+            slopes_ref, j_start, lp, cs, qpos_ref[b],
             params=params, softmax_scale=softmax_scale, t_new=t_new,
             group=group, rq=rq, page_size=page_size,
             quantized=quantized, int8_qk=int8_qk)
@@ -124,6 +128,7 @@ def _decode_kernel(
 
 def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
                         m_scr, l_scr, acc_scr, slopes_ref, j_start, lp, cs,
+                        qpos_base,
                         *, params, softmax_scale, t_new, group, rq,
                         page_size, quantized, int8_qk):
     """Online-softmax update of (m, l, acc) scratch with one KV page."""
@@ -159,7 +164,7 @@ def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
         # q-row -> (g, t): position of the token within the sequence
         r = jax.lax.broadcasted_iota(jnp.int32, (1, rq, page_size), 1)
         t = r % t_new if t_new > 1 else jnp.zeros_like(r)
-        qpos = (cs - t_new) + t
+        qpos = qpos_base + t
 
         st = st * softmax_scale
         if has_alibi:
@@ -246,6 +251,7 @@ def paged_decode_attention(
     cache_seqlens: jnp.ndarray,  # (B,) int32: live tokens (incl. appended new)
     leftpad: jnp.ndarray,        # (B,) int32
     *,
+    qpos_vec: Optional[jnp.ndarray] = None,  # (B,) int32, see _decode_kernel
     softmax_scale: float,
     params: masklib.MaskParams,
     t_new: int,
@@ -308,7 +314,7 @@ def paged_decode_attention(
     grid = (B, nhb, S, nbU)
 
     def kmap_u(u):
-        def kmap(b, h, s, ki, tbl_ref, lens_ref, lp_ref):
+        def kmap(b, h, s, ki, tbl_ref, lens_ref, lp_ref, qpos_ref):
             p = tbl_ref[b, (s * nbU + ki) * U + u]
             return (p // C2, h, p % C2, 0, 0)
         return kmap
@@ -342,8 +348,10 @@ def paged_decode_attention(
             in_specs.append(pl.BlockSpec((1, hb, 1, 1, page_size), km))
             inputs.append(vs_r)
 
+    if qpos_vec is None:
+        qpos_vec = cache_seqlens.astype(jnp.int32) - t_new
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
@@ -375,7 +383,8 @@ def paged_decode_attention(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(tbl, cache_seqlens.astype(jnp.int32), leftpad.astype(jnp.int32), *inputs)
+    )(tbl, cache_seqlens.astype(jnp.int32), leftpad.astype(jnp.int32),
+      qpos_vec.astype(jnp.int32), *inputs)
 
     return o_part, lse_part
 

@@ -85,6 +85,18 @@ def live_pairs(num_q_blocks: int, num_kv_blocks: int, block_q: int,
             np.asarray(firsts, np.int32), np.asarray(lasts, np.int32))
 
 
+def build_seed_vec(dropout_seed, pos_base=None) -> jnp.ndarray:
+    """(6,) uint32 SMEM vector [s0, s1, q_pos0, k_pos0, b0, h0] consumed by
+    the dropout path of the dense kernels.  `pos_base` shifts Philox keying
+    to global coordinates for sequence/head-sharded callers (ring)."""
+    seed = jnp.asarray(dropout_seed, jnp.uint32).reshape(2)
+    if pos_base is None:
+        base = jnp.zeros((4,), jnp.uint32)
+    else:
+        base = jnp.stack([jnp.asarray(x).astype(jnp.uint32) for x in pos_base])
+    return jnp.concatenate([seed, base])
+
+
 def _fwd_kernel(
     # scalar prefetch: the flattened live-pair maps
     qi_ref, ki_ref, first_ref, last_ref,
@@ -97,6 +109,7 @@ def _fwd_kernel(
     num_heads: int,
     block_q: int,
     block_k: int,
+    offset: int,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -116,9 +129,9 @@ def _fwd_kernel(
     ki = ki_ref[t]
     q_start = qi * block_q
     k_start = ki * block_k
-    offset = seqlen_k - seqlen_q
     padded_q = seqlen_q % block_q != 0
     padded_k = seqlen_k % block_k != 0
+    needs_p_zero = params.window_left >= 0 or offset < 0
 
     @pl.when(first_ref[t] == 1)
     def _init():
@@ -160,10 +173,14 @@ def _fwd_kernel(
         alpha = jnp.exp2(m_prev - m_next)
 
         p = jnp.exp2(s - m_next[:, :1])
-        if masked:
+        if masked and needs_p_zero:
             # a FULLY masked row has m == NEG_INF too, giving exp2(0) == 1 —
             # zero those so l stays 0 (reference early-exit semantics,
-            # kernel/fused_mha_forward_varlen.cu:100-111)
+            # kernel/fused_mha_forward_varlen.cu:100-111).  Rows that merely
+            # have SOME masked cols don't need this: their m is finite, so
+            # exp2(NEG_INF - m) underflows to exactly 0.  Fully-masked rows
+            # can only appear under window_left or a negative alignment
+            # offset (M > N causal) — plain causal skips this VPU pass.
             p = jnp.where(valid, p, 0.0)
 
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
@@ -171,9 +188,17 @@ def _fwd_kernel(
         l_scr[...] = l_next
 
         if has_dropout:
-            bh = b * num_heads + h
+            # seed_ref layout (6, uint32): [s0, s1, q_pos0, k_pos0, b0, h0].
+            # The position bases shift local tile coordinates to GLOBAL
+            # (sequence, batch, head) coordinates so sequence/head-sharded
+            # callers (ring attention) replay the exact single-chip mask.
+            q0 = seed_ref[2].astype(jnp.int32)
+            k0 = seed_ref[3].astype(jnp.int32)
+            b0 = seed_ref[4].astype(jnp.int32)
+            h0 = seed_ref[5].astype(jnp.int32)
+            bh = (b + b0) * num_heads + (h + h0)
             keep = philox.dropout_keep_mask(
-                rows, cols, bh, seed_ref[0], seed_ref[1], dropout_p
+                rows + q0, cols + k0, bh, seed_ref[0], seed_ref[1], dropout_p
             )
             p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
 
@@ -225,14 +250,27 @@ def flash_attn_dense_fwd(
     dropout_seed: Optional[jnp.ndarray] = None,  # (2,) uint32
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
+    offset: Optional[int] = None,
+    pos_base=None,  # (q0, k0, b0, h0) traced int32 scalars (ring attention)
+    num_heads_total: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (out (B, M, Hq, D), lse (B, Hq, M) fp32)."""
+    """Returns (out (B, M, Hq, D), lse (B, Hq, M) fp32).
+
+    `offset` overrides the bottom-right causal/window alignment
+    (default seqlen_k - seqlen_q): ring attention passes the global
+    q_start - k_start of the (q shard, kv chunk) pair so chunk-local calls
+    apply the exact global masks.  `pos_base`/`num_heads_total` shift the
+    dropout Philox keying to global coordinates for sharded callers."""
     B, M, Hq, D = q.shape
     N, Hk = k.shape[1], k.shape[2]
     assert Hq % Hk == 0
     group = Hq // Hk
     if interpret is None:
         interpret = use_interpret()
+    if offset is None:
+        offset = N - M
+    if num_heads_total is None:
+        num_heads_total = Hq
 
     bs = block_sizes or BlockSizes.for_shape(M, N, D)
     bq, bk = bs.block_q, bs.block_k
@@ -252,7 +290,7 @@ def flash_attn_dense_fwd(
     num_q_blocks = Mp // bq
     num_kv_blocks = Np // bk
     qi_of, ki_of, first_of, last_of = live_pairs(
-        num_q_blocks, num_kv_blocks, bq, bk, N - M, params)
+        num_q_blocks, num_kv_blocks, bq, bk, offset, params)
     grid = (B, Hq, len(qi_of))
 
     in_specs = []
@@ -264,7 +302,7 @@ def flash_attn_dense_fwd(
     if dropout_p > 0.0:
         assert dropout_seed is not None
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        inputs.append(dropout_seed.astype(jnp.uint32))
+        inputs.append(build_seed_vec(dropout_seed, pos_base))
 
     in_specs += [
         pl.BlockSpec((1, 1, bq, D),
@@ -295,8 +333,8 @@ def flash_attn_dense_fwd(
     kernel = functools.partial(
         _fwd_kernel,
         params=params, softmax_scale=softmax_scale, dropout_p=dropout_p,
-        seqlen_q=M, seqlen_k=N, num_heads=Hq,
-        block_q=bq, block_k=bk,
+        seqlen_q=M, seqlen_k=N, num_heads=num_heads_total,
+        block_q=bq, block_k=bk, offset=offset,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -154,6 +154,47 @@ def block_ranges(lo_row, hi_row, num_blocks: int, block: int,
     return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 
+def block_aggregates(seg, pos_plus, num_blocks: int, block: int):
+    """Per-block [seg_min, seg_max, val_min, val_max] int32 aggregates of the
+    per-token segment ids and a position-derived value (q_pos + offs for q
+    blocks, k_pos for k blocks), stacked as a (4, num_blocks) prefetch array.
+    Rows with seg == -1 (padding) are excluded from the val aggregates.
+
+    The kernels use these for the per-tile FAST PATH: a (q tile, k tile)
+    pair whose rows/cols all lie in ONE common sequence and whose positions
+    satisfy the causal/window bounds tile-wide skips the whole ragged
+    mask/where pipeline — the varlen analog of the dense kernels'
+    block_fully_valid fast path."""
+    BIG = jnp.int32(2 ** 30)
+    seg2 = seg.reshape(num_blocks, block)
+    val2 = pos_plus.reshape(num_blocks, block)
+    valid = seg2 >= 0
+    # seg_min over RAW values: a padding row/col (seg == -1) must break the
+    # seg_min == seg_max uniformity so such tiles take the masked path —
+    # the fast path applies no bounds mask at all
+    seg_min = jnp.min(seg2, axis=1)
+    seg_max = jnp.max(seg2, axis=1)
+    val_min = jnp.min(jnp.where(valid, val2, BIG), axis=1)
+    val_max = jnp.max(jnp.where(valid, val2, -BIG), axis=1)
+    return jnp.stack([seg_min, seg_max, val_min, val_max]).astype(jnp.int32)
+
+
+def _tile_fast(params: masklib.MaskParams, qagg_ref, kagg_ref, qi, ki):
+    """Fast-path predicate from the prefetched block aggregates: every
+    (row, col) of the tile is in one common sequence and unmasked."""
+    qs_min, qs_max = qagg_ref[0, qi], qagg_ref[1, qi]
+    ks_min, ks_max = kagg_ref[0, ki], kagg_ref[1, ki]
+    fast = ((qs_min == qs_max) & (ks_min == ks_max) & (qs_min == ks_min)
+            & (qs_min >= 0))
+    wr = params.effective_window_right()
+    if wr >= 0:
+        # max k_pos <= min (q_pos + offs) + wr
+        fast &= kagg_ref[3, ki] <= qagg_ref[2, qi] + wr
+    if params.window_left >= 0:
+        fast &= kagg_ref[2, ki] >= qagg_ref[3, qi] - params.window_left
+    return fast
+
+
 def _slope_tokens(alibi_slopes, q_seg, Hq):
     """(B, Hq) slopes -> per-q-token (Hq, Tqp) fp32 (segment-gathered)."""
     seg_c = jnp.clip(q_seg, 0, alibi_slopes.shape[0] - 1)
@@ -167,6 +208,8 @@ def _slope_tokens(alibi_slopes, q_seg, Hq):
 def _varlen_fwd_kernel(
     lo_ref,       # scalar-prefetch: (num_q_blocks,) first live kv block
     hi_ref,       # scalar-prefetch: (num_q_blocks,) last live kv block
+    qagg_ref,     # scalar-prefetch: (4, num_q_blocks) block aggregates
+    kagg_ref,     # scalar-prefetch: (4, num_kv_blocks)
     *refs,
     params: masklib.MaskParams,
     softmax_scale: float,
@@ -174,7 +217,7 @@ def _varlen_fwd_kernel(
     num_heads: int,
     block_q: int,
     block_k: int,
-    num_kv_blocks: int,
+    num_kv_blocks_total: int,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -188,8 +231,9 @@ def _varlen_fwd_kernel(
      o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs[idx:]
 
     h, qi, kin = (pl.program_id(i) for i in range(3))
-    # inner axis iterates the live kv WINDOW: actual block = lo[qi] + kin
-    # (the window length is a static bound, see the wrapper)
+    # inner axis iterates the live kv WINDOW: actual block = lo[qi] + kin.
+    # The window length is DYNAMIC (max live span over q blocks, a traced
+    # grid dim) — exact, not a static bound.
     ki = lo_ref[qi] + kin
 
     @pl.when(kin == 0)
@@ -210,8 +254,7 @@ def _varlen_fwd_kernel(
     c = LOG2E if use_exp2 else 1.0
     expf = jnp.exp2 if use_exp2 else jnp.exp
 
-    @pl.when(run)
-    def _compute():
+    def body(masked: bool):
         q = q_ref[0]
         k = k_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -219,13 +262,21 @@ def _varlen_fwd_kernel(
 
         q_pos = qpos_ref[...]
         k_pos = kpos_ref[...]
-        offs = qoff_ref[...]
-        alibi_slope = (slope_ref[0] * c) if has_alibi else None  # (bq, 1)
-        s, valid = masklib.apply_score_pipeline_ragged(
-            s, q_pos, k_pos, q_seg, k_seg, offs,
-            softmax_scale=softmax_scale * c, params=params,
-            alibi_slope=alibi_slope,
-        )
+        if masked:
+            offs = qoff_ref[...]
+            alibi_slope = (slope_ref[0] * c) if has_alibi else None  # (bq, 1)
+            s, valid = masklib.apply_score_pipeline_ragged(
+                s, q_pos, k_pos, q_seg, k_seg, offs,
+                softmax_scale=softmax_scale * c, params=params,
+                alibi_slope=alibi_slope,
+            )
+        else:
+            # fast path (single common sequence, tile fully valid): the
+            # whole ragged mask/where pipeline vanishes; softcap still
+            # applies (position-free)
+            s = s * (softmax_scale * c)
+            if params.softcap > 0.0:
+                s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -233,7 +284,8 @@ def _varlen_fwd_kernel(
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = expf(m_prev - m_next)
         p = expf(s - m_next[:, :1])
-        p = jnp.where(valid, p, 0.0)
+        if masked:
+            p = jnp.where(valid, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
         l_scr[...] = l_next
@@ -249,7 +301,26 @@ def _varlen_fwd_kernel(
                                  preferred_element_type=jnp.float32)
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when(kin == num_kv_blocks - 1)
+    if has_alibi:
+        # alibi needs per-element positions anyway; single general path
+        @pl.when(run)
+        def _compute():
+            body(masked=True)
+    else:
+        # ki may run past the live range on dead window steps: clip the
+        # aggregate lookup (run is False there; fast's value is irrelevant)
+        ki_c = jnp.minimum(ki, num_kv_blocks_total - 1)
+        fast = _tile_fast(params, qagg_ref, kagg_ref, qi, ki_c)
+
+        @pl.when(run & fast)
+        def _fast():
+            body(masked=False)
+
+        @pl.when(run & jnp.logical_not(fast))
+        def _masked():
+            body(masked=True)
+
+    @pl.when(kin == pl.num_programs(2) - 1)
     def _store():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
@@ -274,7 +345,8 @@ def flash_attn_varlen_fwd(
     leftpad_k=None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
-    equal_lens: bool = False,
+    equal_lens: bool = False,   # obsolete (dynamic live windows); accepted
+                                # for call-site compatibility, ignored
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (out (Tq, Hq, D), lse (Hq, Tq) fp32 — the reference's varlen
     LSE layout (kernel/fused_mha_forward_varlen.cu:519))."""
@@ -302,20 +374,18 @@ def flash_attn_varlen_fwd(
     num_q_blocks, num_kv_blocks = Tqp // bq, Tkp // bk
     kv_lo, kv_hi = block_ranges(k_lo_row, k_hi_row, num_q_blocks, bq, bk,
                                 num_kv_blocks)
+    q_agg = block_aggregates(q_seg, q_pos + q_offs, num_q_blocks, bq)
+    k_agg = block_aggregates(k_seg, k_pos, num_kv_blocks, bk)
 
     # inner grid = live kv WINDOW per q block, offset by the prefetched lo.
-    # With self-attention packing (cu_q == cu_k) a q block's kv span is
-    # statically bounded by its own width plus the two sequences it can cut
-    # into — usually far below the full kv extent.
-    win_k = num_kv_blocks
-    if equal_lens:
-        win_k = min(num_kv_blocks,
-                    cdiv(bq + 2 * max(max_seqlen_k - 1, 0), bk) + 1)
+    # The window length is the EXACT max live span over q blocks — a traced
+    # value feeding a dynamic grid dimension (one compile serves every
+    # ragged batch; dead sub-window steps alias a live block: no DMA, and
+    # `run` skips their compute).
+    win_k = jnp.max(kv_hi - kv_lo + 1)
     grid = (Hq, num_q_blocks, win_k)
 
     def kv_idx(qi, kin, lo_ref, hi_ref):
-        # dead iterations (lo+kin > hi) alias a live block: no DMA; `run`
-        # skips their compute
         return jnp.clip(lo_ref[qi] + kin, 0, num_kv_blocks - 1)
 
     in_specs, inputs = [], []
@@ -329,15 +399,15 @@ def flash_attn_varlen_fwd(
         inputs.append(dropout_seed.astype(jnp.uint32))
 
     qcol = lambda h, qi, ki, *_: (qi, 0)
-    krow = lambda h, qi, ki, lo, hi: (0, kv_idx(qi, ki, lo, hi))
+    krow = lambda h, qi, ki, lo, hi, *_: (0, kv_idx(qi, ki, lo, hi))
     in_specs += [
         pl.BlockSpec((1, bq, D), lambda h, qi, ki, *_: (h, qi, 0)),
         pl.BlockSpec((1, bk, D),
-                     lambda h, qi, ki, lo, hi: (h // group,
-                                                kv_idx(qi, ki, lo, hi), 0)),
+                     lambda h, qi, ki, lo, hi, *_: (h // group,
+                                                    kv_idx(qi, ki, lo, hi), 0)),
         pl.BlockSpec((1, bk, D),
-                     lambda h, qi, ki, lo, hi: (h // group,
-                                                kv_idx(qi, ki, lo, hi), 0)),
+                     lambda h, qi, ki, lo, hi, *_: (h // group,
+                                                    kv_idx(qi, ki, lo, hi), 0)),
         pl.BlockSpec((bq, 1), qcol),
         pl.BlockSpec((bq, 1), qcol),
         pl.BlockSpec((bq, 1), qcol),
@@ -349,7 +419,7 @@ def flash_attn_varlen_fwd(
                k_seg[None, :], k_pos[None, :]]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
@@ -366,7 +436,7 @@ def flash_attn_varlen_fwd(
         functools.partial(
             _varlen_fwd_kernel, params=params, softmax_scale=softmax_scale,
             dropout_p=dropout_p, num_heads=Hq,
-            block_q=bq, block_k=bk, num_kv_blocks=win_k,
+            block_q=bq, block_k=bk, num_kv_blocks_total=num_kv_blocks,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -377,7 +447,7 @@ def flash_attn_varlen_fwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kv_lo, kv_hi, *inputs)
+    )(kv_lo, kv_hi, q_agg, k_agg, *inputs)
 
     out = jnp.swapaxes(out[:, :Tq], 0, 1)
     lse = lse[:, :Tq, 0]
@@ -390,8 +460,10 @@ def flash_attn_varlen_fwd(
 
 def _varlen_dq_kernel(
     lo_ref, hi_ref,   # scalar-prefetch: per-q-block live kv block range
+    qagg_ref, kagg_ref,  # scalar-prefetch: (4, n) block aggregates
     *refs,
-    params, softmax_scale, dropout_p, num_heads, block_q, block_k, num_kv_blocks,
+    params, softmax_scale, dropout_p, num_heads, block_q, block_k,
+    num_kv_blocks_total,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -406,7 +478,7 @@ def _varlen_dq_kernel(
      dq_ref, dq_acc) = refs[idx:]
 
     h, qi, kin = (pl.program_id(i) for i in range(3))
-    ki = lo_ref[qi] + kin     # windowed inner axis (see fwd kernel)
+    ki = lo_ref[qi] + kin     # dynamic windowed inner axis (see fwd kernel)
 
     @pl.when(kin == 0)
     def _init():
@@ -416,8 +488,7 @@ def _varlen_dq_kernel(
     k_seg = kseg_ref[...]
     run = (ki <= hi_ref[qi]) & masklib.ragged_block_overlaps(q_seg, k_seg)
 
-    @pl.when(run)
-    def _compute():
+    def body(masked: bool):
         q = q_ref[0]
         kk = k_ref[0]
         vv = v_ref[0]
@@ -426,14 +497,24 @@ def _varlen_dq_kernel(
                                 preferred_element_type=jnp.float32)
         q_pos = qpos_ref[...]
         k_pos = kpos_ref[...]
-        alibi_slope = slope_ref[0] if has_alibi else None
-        s, valid = masklib.apply_score_pipeline_ragged(
-            s, q_pos, k_pos, q_seg, k_seg, qoff_ref[...],
-            softmax_scale=softmax_scale, params=params, alibi_slope=alibi_slope,
-        )
+        if masked:
+            alibi_slope = slope_ref[0] if has_alibi else None
+            s, valid = masklib.apply_score_pipeline_ragged(
+                s, q_pos, k_pos, q_seg, k_seg, qoff_ref[...],
+                softmax_scale=softmax_scale, params=params,
+                alibi_slope=alibi_slope,
+            )
+        else:
+            s = s * softmax_scale
+            if params.softcap > 0.0:
+                s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
+            valid = None
         lse_rows = lse_ref[0]      # (bq, 1)
         delta_rows = delta_ref[0]
-        p = _recompute_p(s, valid, lse_rows)
+        if masked:
+            p = _recompute_p(s, valid, lse_rows)
+        else:
+            p = jnp.exp(jnp.minimum(s - lse_rows, 0.0))
         dov = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if has_dropout:
@@ -443,21 +524,40 @@ def _varlen_dq_kernel(
             p_drop = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
         else:
             p_drop = p
-        ds = _grad_scores(p, p_drop, dov, delta_rows, s, softmax_scale, params, valid)
+        ds = _grad_scores(p, p_drop, dov, delta_rows, s, softmax_scale, params,
+                          valid)
         dq_acc[...] += jax.lax.dot_general(
             ds.astype(kk.dtype), kk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    @pl.when(kin == num_kv_blocks - 1)
+    if has_alibi:
+        @pl.when(run)
+        def _compute():
+            body(masked=True)
+    else:
+        ki_c = jnp.minimum(ki, num_kv_blocks_total - 1)
+        fast = _tile_fast(params, qagg_ref, kagg_ref, qi, ki_c)
+
+        @pl.when(run & fast)
+        def _fast():
+            body(masked=False)
+
+        @pl.when(run & jnp.logical_not(fast))
+        def _masked():
+            body(masked=True)
+
+    @pl.when(kin == pl.num_programs(2) - 1)
     def _store():
         dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
 
 
 def _varlen_dkv_kernel(
     lo_ref, hi_ref,   # scalar-prefetch: per-kv-block live q block range
+    qagg_ref, kagg_ref,  # scalar-prefetch: (4, n) block aggregates
+    meta_ref,            # scalar-prefetch: [win_q] (dynamic window length)
     *refs,
-    params, softmax_scale, dropout_p, num_heads, group,
-    block_q, block_k, num_q_blocks, num_inner,
+    params, softmax_scale, dropout_p, num_heads, group, block_q, block_k,
+    num_q_blocks_total,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -472,9 +572,10 @@ def _varlen_dkv_kernel(
      dk_ref, dv_ref, dk_acc, dv_acc) = refs[idx:]
 
     hk, ki, t = (pl.program_id(i) for i in range(3))
-    # num_q_blocks here is the WINDOW length; actual q block = lo[ki] + qin
-    g = t // num_q_blocks
-    qi = lo_ref[ki] + t % num_q_blocks
+    # inner axis = (group, DYNAMIC live q window): g major, qin minor
+    win_q = meta_ref[0]
+    g = t // win_q
+    qi = lo_ref[ki] + t % win_q
     h = hk * group + g
 
     @pl.when(t == 0)
@@ -486,8 +587,7 @@ def _varlen_dkv_kernel(
     k_seg = kseg_ref[...]  # (bk, 1)
     run = (qi <= hi_ref[ki]) & masklib.ragged_block_overlaps(q_seg, k_seg)
 
-    @pl.when(run)
-    def _compute():
+    def body(masked: bool):
         q = q_ref[0]
         kk = k_ref[0]
         vv = v_ref[0]
@@ -496,14 +596,24 @@ def _varlen_dkv_kernel(
                                  preferred_element_type=jnp.float32)  # (bk, bq)
         q_pos = qpos_ref[...]  # (1, bq)
         k_pos = kpos_ref[...]  # (bk, 1)
-        alibi_slope = slope_ref[0] if has_alibi else None  # (1, bq)
-        st, valid = masklib.apply_score_pipeline_ragged(
-            st, q_pos, k_pos, q_seg, k_seg, qoff_ref[...],
-            softmax_scale=softmax_scale, params=params, alibi_slope=alibi_slope,
-        )
+        if masked:
+            alibi_slope = slope_ref[0] if has_alibi else None  # (1, bq)
+            st, valid = masklib.apply_score_pipeline_ragged(
+                st, q_pos, k_pos, q_seg, k_seg, qoff_ref[...],
+                softmax_scale=softmax_scale, params=params,
+                alibi_slope=alibi_slope,
+            )
+        else:
+            st = st * softmax_scale
+            if params.softcap > 0.0:
+                st = params.softcap * jnp.tanh(st * (1.0 / params.softcap))
+            valid = None
         lse_cols = lse_ref[0]      # (1, bq)
         delta_cols = delta_ref[0]
-        pt = _recompute_p(st, valid, lse_cols)
+        if masked:
+            pt = _recompute_p(st, valid, lse_cols)
+        else:
+            pt = jnp.exp(jnp.minimum(st - lse_cols, 0.0))
         dovt = jax.lax.dot_general(vv, do, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         if has_dropout:
@@ -522,7 +632,23 @@ def _varlen_dkv_kernel(
             dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    @pl.when(t == num_inner - 1)
+    if has_alibi:
+        @pl.when(run)
+        def _compute():
+            body(masked=True)
+    else:
+        qi_c = jnp.minimum(qi, num_q_blocks_total - 1)
+        fast = _tile_fast(params, qagg_ref, kagg_ref, qi_c, ki)
+
+        @pl.when(run & fast)
+        def _fast():
+            body(masked=False)
+
+        @pl.when(run & jnp.logical_not(fast))
+        def _masked():
+            body(masked=True)
+
+    @pl.when(t == pl.num_programs(2) - 1)
     def _store():
         dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
@@ -542,7 +668,7 @@ def flash_attn_varlen_bwd(
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     dlse: Optional[jnp.ndarray] = None,  # (Hq, Tq)
-    equal_lens: bool = False,
+    equal_lens: bool = False,   # obsolete (dynamic live windows), ignored
 ):
     Tq, Hq, D = q.shape
     Tk, Hk = k.shape[0], k.shape[1]
@@ -572,21 +698,14 @@ def flash_attn_varlen_bwd(
             window_left=params.window_left,
             window_right=params.effective_window_right())
         num_q_blocks, num_kv_blocks = Tqp // bq, Tkp // bk
-
-        # live-window geometry (must precede the alibi specs that close over it)
-        win_k = num_kv_blocks
-        win_q = num_q_blocks
-        if equal_lens:
-            win_k = min(num_kv_blocks,
-                        cdiv(bq + 2 * max(max_seqlen_k - 1, 0), bk) + 1)
-            win_q = min(num_q_blocks,
-                        cdiv(bk + 2 * max(max_seqlen_q - 1, 0), bq) + 1)
+        q_agg = block_aggregates(q_seg, q_pos + q_offs, num_q_blocks, bq)
+        k_agg = block_aggregates(k_seg, k_pos, num_kv_blocks, bk)
 
         def kv_idx(qi, kin, lo, hi):
             return jnp.clip(lo[qi] + kin, 0, num_kv_blocks - 1)
 
-        def q_idx(ki, t, lo, hi):
-            return jnp.clip(lo[ki] + t % win_q, 0, num_q_blocks - 1)
+        def q_idx(ki, t, lo, hi, meta):
+            return jnp.clip(lo[ki] + t % meta[0], 0, num_q_blocks - 1)
 
         feat_specs, feat_inputs = [], []
         if params.has_alibi:
@@ -598,8 +717,9 @@ def flash_attn_varlen_bwd(
             else:
                 feat_specs.append(pl.BlockSpec(
                     (1, 1, bq),
-                    lambda hk, ki, t, lo, hi: (hk * group + t // win_q, 0,
-                                               q_idx(ki, t, lo, hi))))
+                    lambda hk, ki, t, lo, hi, qa, ka, meta: (
+                        hk * group + t // meta[0], 0,
+                        q_idx(ki, t, lo, hi, meta))))
                 feat_inputs.append(slope_tok[:, None, :])
         if dropout_p > 0.0:
             feat_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -608,13 +728,14 @@ def flash_attn_varlen_bwd(
         if which == "dq":
             kv_lo, kv_hi = block_ranges(k_lo_row, k_hi_row, num_q_blocks, bq,
                                         bk, num_kv_blocks)
+            win_k = jnp.max(kv_hi - kv_lo + 1)   # dynamic grid dim
 
             qmap = lambda h, qi, ki, *_: (h, qi, 0)
-            kmap = lambda h, qi, ki, lo, hi: (h // group,
-                                              kv_idx(qi, ki, lo, hi), 0)
+            kmap = lambda h, qi, ki, lo, hi, *_: (h // group,
+                                                  kv_idx(qi, ki, lo, hi), 0)
             lmap = lambda h, qi, ki, *_: (h, qi, 0)
             qcol = lambda h, qi, ki, *_: (qi, 0)
-            krow = lambda h, qi, ki, lo, hi: (0, kv_idx(qi, ki, lo, hi))
+            krow = lambda h, qi, ki, lo, hi, *_: (0, kv_idx(qi, ki, lo, hi))
             in_specs = feat_specs + [
                 pl.BlockSpec((1, bq, D), qmap),
                 pl.BlockSpec((1, bk, D), kmap),
@@ -635,7 +756,7 @@ def flash_attn_varlen_bwd(
                 k_seg[None, :], k_pos[None, :],
             ]
             grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=4,
                 grid=(Hq, num_q_blocks, win_k),
                 in_specs=in_specs,
                 out_specs=pl.BlockSpec((1, bq, D), qmap),
@@ -645,26 +766,29 @@ def flash_attn_varlen_bwd(
                 functools.partial(
                     _varlen_dq_kernel, params=params, softmax_scale=softmax_scale,
                     dropout_p=dropout_p, num_heads=Hq,
-                    block_q=bq, block_k=bk, num_kv_blocks=win_k),
+                    block_q=bq, block_k=bk, num_kv_blocks_total=num_kv_blocks),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((Hq, Tqp, D), q.dtype),
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "parallel", "arbitrary")),
                 interpret=interpret,
-            )(kv_lo, kv_hi, *inputs)
+            )(kv_lo, kv_hi, q_agg, k_agg, *inputs)
             return jnp.swapaxes(dq[:, :Tq], 0, 1)
 
         # dkv pass
         q_lo, q_hi = block_ranges(q_lo_row, q_hi_row, num_kv_blocks, bk,
                                   bq, num_q_blocks)
-        num_inner = group * win_q
+        win_q = jnp.max(q_hi - q_lo + 1)         # dynamic live q window
+        meta = jnp.reshape(win_q, (1,)).astype(jnp.int32)
+        num_inner = group * win_q                # dynamic grid dim
 
-        qmap = lambda hk, ki, t, lo, hi: (hk * group + t // win_q,
-                                          q_idx(ki, t, lo, hi), 0)
+        qmap = lambda hk, ki, t, lo, hi, qa, ka, meta: (
+            hk * group + t // meta[0], q_idx(ki, t, lo, hi, meta), 0)
         kmap = lambda hk, ki, t, *_: (hk, ki, 0)
-        lmap = lambda hk, ki, t, lo, hi: (hk * group + t // win_q, 0,
-                                          q_idx(ki, t, lo, hi))
-        qrow = lambda hk, ki, t, lo, hi: (0, q_idx(ki, t, lo, hi))
+        lmap = lambda hk, ki, t, lo, hi, qa, ka, meta: (
+            hk * group + t // meta[0], 0, q_idx(ki, t, lo, hi, meta))
+        qrow = lambda hk, ki, t, lo, hi, qa, ka, meta: (
+            0, q_idx(ki, t, lo, hi, meta))
         kcol = lambda hk, ki, t, *_: (ki, 0)
         in_specs = feat_specs + [
             pl.BlockSpec((1, bq, D), qmap),
@@ -686,7 +810,7 @@ def flash_attn_varlen_bwd(
             k_seg[:, None], k_pos[:, None],
         ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=5,
             grid=(Hk, num_kv_blocks, num_inner),
             in_specs=in_specs,
             out_specs=(
@@ -702,8 +826,7 @@ def flash_attn_varlen_bwd(
             functools.partial(
                 _varlen_dkv_kernel, params=params, softmax_scale=softmax_scale,
                 dropout_p=dropout_p, num_heads=Hq, group=group,
-                block_q=bq, block_k=bk, num_q_blocks=win_q,
-                num_inner=num_inner),
+                block_q=bq, block_k=bk, num_q_blocks_total=num_q_blocks),
             grid_spec=grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct((Hk, Tkp, D), k.dtype),
@@ -712,7 +835,7 @@ def flash_attn_varlen_bwd(
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             interpret=interpret,
-        )(q_lo, q_hi, *inputs)
+        )(q_lo, q_hi, q_agg, k_agg, meta, *inputs)
         return (jnp.swapaxes(dk[:, :Tk], 0, 1), jnp.swapaxes(dv[:, :Tk], 0, 1))
 
     dq = run_pass(bs.block_q_dq, bs.block_k_dq, "dq")

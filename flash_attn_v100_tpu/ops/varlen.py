@@ -154,10 +154,10 @@ def flash_attn_varlen_func(
     if softcap > 0.0 and dropout_p > 0.0:
         raise ValueError("softcap and dropout are mutually exclusive "
                          "(reference: kernel/fused_mha_forward_varlen.cu)")
-    # self-attention packing (same cu array object) unlocks the statically
-    # bounded live-window grids in the kernels
-    equal_lens = (cu_seqlens_q is cu_seqlens_k
-                  and seqused_k is None and leftpad_k is None)
+    # kernels size their live-window grids DYNAMICALLY from the prefetched
+    # block ranges (one compile serves every ragged batch); the old
+    # equal-lens static-window special case is gone
+    equal_lens = False
     cu_seqlens_q = jnp.asarray(cu_seqlens_q, jnp.int32)
     cu_seqlens_k = jnp.asarray(cu_seqlens_k, jnp.int32)
     B = cu_seqlens_q.shape[0] - 1

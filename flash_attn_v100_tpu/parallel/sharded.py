@@ -98,85 +98,159 @@ def merge_lse_across(o_local, lse_local, axis_name: str):
 
 def flash_attn_with_kvcache_sharded(
     q,                     # (B, T_new, Hq, D), replicated on "seq"
-    k_cache, v_cache,      # HND contiguous (Bc, Hk, N_shard*seq, D) sharded on N,
-                           # heads sharded on "model"
+    k_cache, v_cache,      # HND: contiguous (B, Hk, N_global, D) sharded on N
+                           #   (P(None, model, seq, None)), or paged pool
+                           #   (Hk, P_global, ps, D) sharded on pages
+                           #   (P(model, seq, None, None)); heads on "model"
     mesh: Mesh,
-    cache_seqlens,         # (B,) GLOBAL live lengths
+    cache_seqlens,         # (B,) GLOBAL live lengths (pre-append)
     *,
+    k=None, v=None,        # (B, T_new, Hk, D) new tokens, appended in-shard
+    rotary_cos=None, rotary_sin=None,
+    block_table=None,      # (B, max_pages_global) sharded P(None, seq);
+                           #   each shard's columns hold LOCAL page ids
+    k_scales=None, v_scales=None,   # same layout/sharding as the caches
     causal: bool = False,
+    window_size=(-1, -1),
+    softcap: float = 0.0,
+    alibi_slopes=None,     # (Hq,) or (B, Hq), heads sharded on "model"
     softmax_scale: Optional[float] = None,
     num_splits: int = 0,
+    rotary_interleaved: bool = True,
+    return_softmax_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
-    """Multi-chip decode: heads on "model" (no comm), KV sequence on "seq"
-    (each chip attends to its cache shard; partials combine via LSE-merge).
+    """Multi-chip decode with the FULL kvcache surface: heads on "model"
+    (no comm), KV sequence on "seq" — each chip attends to its cache shard
+    with the single-chip kernel and partials combine via the cross-chip
+    LSE-merge (the distributed form of the reference's stubbed num_splits,
+    kernel/fused_mha_forward_kvcache.cu:462).  Supports T_new >= 1 (causal
+    across shards via the global q-position frame), paged block tables,
+    in-shard append of new k/v, fused rotary, int8/fp8 quantized pools,
+    window/softcap/ALiBi — the reference kwarg surface of
+    fused_mha_forward_kvcache.cu:416-652, sharded.
 
-    The cache is sharded along the sequence axis in *contiguous* blocks:
-    chip s of S owns cache rows [s*N/S, (s+1)*N/S).  Live tokens fill shards
-    in order, so chip s holds min(max(len - s*N/S, 0), N/S) live rows.
+    Sequence sharding is contiguous: chip s of S owns global rows
+    [s*N/S, (s+1)*N/S) (contiguous) or global page-table columns
+    [s*mp/S, (s+1)*mp/S) (paged).  Returns like flash_attn_with_kvcache;
+    updated caches keep their input sharding.
     """
-    from flash_attn_v100_tpu.ops.pallas.decode import (
-        paged_decode_attention, merge_partials)
-    from flash_attn_v100_tpu.ops.pallas import masks as masklib
-    from flash_attn_v100_tpu.ops.pallas.block_sizes import round_up
-    from flash_attn_v100_tpu.ops.kvcache import _pick_page_size
+    from flash_attn_v100_tpu.ops.kvcache import flash_attn_with_kvcache
+    from flash_attn_v100_tpu.ops.rotary import apply_rotary_emb
 
     B, T_new, Hq, D = q.shape
-    if T_new != 1:
-        raise NotImplementedError(
-            "sharded decode currently handles T_new == 1 (token-at-a-time); "
-            "use ring_attention for sharded prefill")
-    Hk = k_cache.shape[1]
-    tp = mesh.shape[MODEL_AXIS]
+    paged = block_table is not None
+    Hk = k_cache.shape[1] if not paged else k_cache.shape[0]
     sp = mesh.shape[SEQ_AXIS]
-    group = Hq // Hk
+    quantized = k_scales is not None
     if softmax_scale is None:
         softmax_scale = D ** -0.5
-    N_global = k_cache.shape[2]
-    N_shard = N_global // sp
+    appended = k is not None
+    lens = jnp.asarray(cache_seqlens, jnp.int32)
+    if paged:
+        page_size = k_cache.shape[2]
+        mp_local = block_table.shape[1] // sp
+        N_shard = mp_local * page_size
+    else:
+        N_shard = k_cache.shape[2] // sp
+
+    # rotary runs replicated OUTSIDE the shard_map: positions are global and
+    # the (B, T_new) work is negligible next to streaming the cache shards
+    if rotary_cos is not None:
+        local_w = window_size[0] >= 0 or window_size[1] >= 0
+        if causal or local_w:
+            pos_q = lens[:, None] + jnp.arange(T_new, dtype=jnp.int32)
+        else:
+            pos_q = jnp.broadcast_to(lens[:, None], (B, T_new))
+        q = apply_rotary_emb(q, rotary_cos, rotary_sin, pos_q,
+                             interleaved=rotary_interleaved)
+        if appended:
+            pos_k = lens[:, None] + jnp.arange(T_new, dtype=jnp.int32)
+            k = apply_rotary_emb(k, rotary_cos, rotary_sin, pos_k,
+                                 interleaved=rotary_interleaved)
 
     q_spec = P(None, None, MODEL_AXIS, None)
-    kv_spec = P(None, MODEL_AXIS, SEQ_AXIS, None)
+    kv_spec = (P(MODEL_AXIS, SEQ_AXIS, None, None) if paged
+               else P(None, MODEL_AXIS, SEQ_AXIS, None))
+    new_spec = P(None, None, MODEL_AXIS, None)
+    tbl_spec = P(None, SEQ_AXIS)
 
-    def local(q, kc, vc, lens):
+    slopes = None
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if slopes.ndim == 1:
+            slopes = jnp.broadcast_to(slopes[None], (B, Hq))
+
+    def local(q, kc, vc, lens, *rest):
+        rest = list(rest)
+        tbl_l = rest.pop(0) if paged else None
+        knew = rest.pop(0) if appended else None
+        vnew = rest.pop(0) if appended else None
+        ksc = rest.pop(0) if quantized else None
+        vsc = rest.pop(0) if quantized else None
+        sl = rest.pop(0) if slopes is not None else None
+
         sidx = jax.lax.axis_index(SEQ_AXIS)
         shard_start = sidx * N_shard
-        # live rows in this shard
-        lens_local = jnp.clip(lens - shard_start, 0, N_shard)
-        Bc, Hk_l, N_l, _ = kc.shape
-        ps = _pick_page_size(N_l)
-        nb = N_l // ps
-        pool_k = kc.reshape(Bc, Hk_l, nb, ps, D)
-        pool_v = vc.reshape(Bc, Hk_l, nb, ps, D)
-        tbl = (jnp.arange(B, dtype=jnp.int32)[:, None] * nb
-               + jnp.arange(nb, dtype=jnp.int32)[None, :])
+        total = lens + (T_new if appended else 0)
+        # local live rows (the inner wrapper re-adds T_new when appending)
+        cs_local = (jnp.clip(total - shard_start, 0, N_shard)
+                    - (T_new if appended else 0))
+        qlens_local = lens - shard_start   # global q frame, shard-local origin
 
-        group_l = q.shape[2] // Hk_l
-        q_rows = jnp.swapaxes(q, 1, 2).reshape(B, Hk_l, group_l * T_new, D)
-        Rq = max(round_up(group_l * T_new, 8), 8)
-        if Rq != group_l * T_new:
-            q_rows = jnp.pad(q_rows, ((0, 0), (0, 0),
-                                      (0, Rq - group_l * T_new), (0, 0)))
-
-        # T_new == 1 decode: causal across shards is just the length mask
-        # (the single query is the newest token), handled by lens_local.
-        params = masklib.MaskParams(causal=False)
-        o_part, lse_part = paged_decode_attention(
-            q_rows, pool_k, pool_v, tbl, lens_local,
-            jnp.zeros((B,), jnp.int32),
-            softmax_scale=float(softmax_scale), params=params,
-            t_new=T_new, group=group_l, num_splits=num_splits,
-            interpret=interpret,
+        res = flash_attn_with_kvcache(
+            q, kc, vc, k=knew, v=vnew, cache_seqlens=cs_local,
+            block_table=tbl_l, k_scales=ksc, v_scales=vsc,
+            causal=causal, window_size=window_size, softcap=softcap,
+            alibi_slopes=sl, softmax_scale=softmax_scale,
+            num_splits=num_splits, kv_cache_layout="HND",
+            return_softmax_lse=True, interpret=interpret,
+            q_position_lens=qlens_local,
+            append_window=(0, N_shard) if appended else None,
         )
-        o, lse = merge_partials(o_part, lse_part)  # (B, Hk, Rq, D), (..., 1)
-        o, lse = merge_lse_across(o, lse, SEQ_AXIS)
-        o = o[:, :, :group_l * T_new].reshape(B, Hk_l, group_l, T_new, D)
-        out = o.transpose(0, 3, 1, 2, 4).reshape(B, T_new, Hk_l * group_l, D)
-        return out.astype(q.dtype)
+        out, lse = res[0], res[1]
+        caches = res[2] if appended else None
+        lse_t = jnp.transpose(lse, (0, 2, 1))[..., None]  # (B, T, Hq_l, 1)
+        o, lse_m = merge_lse_across(out.astype(jnp.float32), lse_t, SEQ_AXIS)
+        outs = [o.astype(q.dtype), jnp.transpose(lse_m[..., 0], (0, 2, 1))]
+        if appended:
+            outs.extend(caches)
+        return tuple(outs)
 
-    return shard_map(
+    in_specs = [q_spec, kv_spec, kv_spec, P()]
+    args = [q, k_cache, v_cache, lens]
+    if paged:
+        in_specs.append(tbl_spec)
+        args.append(jnp.asarray(block_table, jnp.int32))
+    if appended:
+        in_specs += [new_spec, new_spec]
+        args += [k, v]
+    if quantized:
+        sc_spec = (P(MODEL_AXIS, SEQ_AXIS, None, None) if paged
+                   else P(None, MODEL_AXIS, SEQ_AXIS, None))
+        in_specs += [sc_spec, sc_spec]
+        args += [k_scales, v_scales]
+    if slopes is not None:
+        in_specs.append(P(None, MODEL_AXIS))
+        args.append(slopes)
+
+    out_specs = [P(None, None, MODEL_AXIS, None), P(None, MODEL_AXIS, None)]
+    if appended:
+        out_specs += [kv_spec, kv_spec]
+        if quantized:
+            out_specs += [sc_spec, sc_spec]
+
+    res = shard_map(
         local, mesh=mesh,
-        in_specs=(q_spec, kv_spec, kv_spec, P()),
-        out_specs=P(None, None, MODEL_AXIS, None),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
         check_vma=False,
-    )(q, k_cache, v_cache, jnp.asarray(cache_seqlens, jnp.int32))
+    )(*args)
+
+    out, lse = res[0], res[1]
+    results = [out]
+    if return_softmax_lse:
+        results.append(lse)
+    if appended:
+        results.append(tuple(res[2:]))
+    return results[0] if len(results) == 1 else tuple(results)

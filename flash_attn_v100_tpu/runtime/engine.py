@@ -71,7 +71,26 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
             k_scales=ksc, v_scales=vsc,
             kv_cache_layout="HND", interpret=interpret)
 
+    seq_sharded = False
     if mesh is not None:
+        from flash_attn_v100_tpu.parallel.mesh import SEQ_AXIS
+        seq_sharded = dict(mesh.shape).get(SEQ_AXIS, 1) > 1
+    if seq_sharded:
+        # seq x model mesh: pages shard over "seq" (each chip streams 1/sp of
+        # every sequence's KV — the bandwidth-sharded long-context mode),
+        # heads over "model"; partials combine via the cross-chip LSE merge
+        from flash_attn_v100_tpu.parallel.sharded import (
+            flash_attn_with_kvcache_sharded)
+
+        def attn_step(q, kp, vp, k, v, *scales):
+            ksc, vsc = scales if quantized else (None, None)
+            res = flash_attn_with_kvcache_sharded(
+                q, kp, vp, mesh, cache_seqlens, k=k, v=v,
+                rotary_cos=cos, rotary_sin=sin, block_table=block_table,
+                k_scales=ksc, v_scales=vsc, causal=True,
+                rotary_interleaved=False, interpret=interpret)
+            return res
+    elif mesh is not None:
         # tensor-parallel decode: projections are column/row-sharded on
         # "model" (GSPMD); the attention itself — a Pallas call XLA cannot
         # partition — runs under shard_map with heads AND their pool pages
@@ -172,8 +191,23 @@ class ServingEngine:
         self.max_pages_per_seq = cfg.max_seq_len // page_size
         kv_dtype = kv_dtype or cfg.dtype
         self.quantized = kv_dtype in (jnp.int8, jnp.float8_e4m3fn)
-        pool_shape = (cfg.n_layers, cfg.n_kv_heads, num_pages + 1, page_size,
-                      cfg.head_dim)
+        sp = 1
+        if mesh is not None:
+            from flash_attn_v100_tpu.parallel.mesh import SEQ_AXIS
+            sp = dict(mesh.shape).get(SEQ_AXIS, 1)
+        self.seq_shards = sp
+        if sp > 1 and self.max_pages_per_seq % sp:
+            raise ValueError(
+                f"max_seq_len/page_size = {self.max_pages_per_seq} pages per "
+                f"sequence must divide the seq axis ({sp})")
+        # seq x model mesh: every chip along "seq" gets its own full page-id
+        # space (scheduler ids are globally unique, and each page's DATA
+        # lives only on the chip owning its block-table column), so the pool
+        # page dim is sp * (num_pages + 1), sharded contiguously on "seq" —
+        # per-chip memory equals the unsharded pool while each chip streams
+        # only 1/sp of every sequence's KV per decode step.
+        pool_shape = (cfg.n_layers, cfg.n_kv_heads, sp * (num_pages + 1),
+                      page_size, cfg.head_dim)
         self.k_pool = jnp.zeros(pool_shape, kv_dtype)
         self.v_pool = jnp.zeros(pool_shape, kv_dtype)
         self.k_scales = self.v_scales = None
@@ -182,8 +216,9 @@ class ServingEngine:
             self.v_scales = jnp.ones(pool_shape[:-1] + (1,), jnp.float32)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            from flash_attn_v100_tpu.parallel.mesh import MODEL_AXIS
-            sh = NamedSharding(mesh, P(None, MODEL_AXIS, None, None, None))
+            from flash_attn_v100_tpu.parallel.mesh import MODEL_AXIS, SEQ_AXIS
+            page_ax = SEQ_AXIS if sp > 1 else None
+            sh = NamedSharding(mesh, P(None, MODEL_AXIS, page_ax, None, None))
             self.k_pool = jax.device_put(self.k_pool, sh)
             self.v_pool = jax.device_put(self.v_pool, sh)
             if self.quantized:

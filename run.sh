@@ -23,6 +23,9 @@ make -C csrc
 echo "== hermetic CPU suite (Pallas interpret + virtual 8-device mesh) =="
 python -m pytest tests/ -x -q
 
+echo "== multi-process dryrun (jax.distributed + DCN-aware hybrid mesh) =="
+python benchmarks/dryrun_multiprocess.py --procs 2 --local-devices 4
+
 if [[ "$RUN_TPU" == "1" ]]; then
   echo "== hardware oracle sweep =="
   python benchmarks/sweep_dense.py $QUICK

@@ -253,3 +253,52 @@ def test_engine_eos_reaping():
     assert out[rid] == expect, (out[rid], expect)
     # scheduler slot freed by the reap
     assert eng.sched.stats()["running"] == 0
+
+
+def test_engine_seq_model_mesh_int8_matches_single():
+    """seq x model engine (pages bandwidth-sharded on "seq", heads on
+    "model") with int8 pools reproduces the unsharded int8 engine's greedy
+    tokens exactly (VERDICT r1 #6 done-bar)."""
+    from flash_attn_v100_tpu.models.transformer import param_shardings
+    from flash_attn_v100_tpu.parallel.mesh import make_mesh
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+
+    cfg, params = _make_model()   # max_seq_len 64; 8 pages of 8 per seq
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1, 8, 2, 8, 1]]
+
+    eng1 = ServingEngine(params, cfg, max_batch=2, num_pages=16, page_size=8,
+                         kv_dtype=jnp.int8)
+    r1 = [eng1.submit(p, max_new_tokens=6) for p in prompts]
+    out1 = eng1.run_to_completion()
+
+    mesh = make_mesh(data=1, seq=4, model=2)
+    params_sp = jax.device_put(params, param_shardings(params, cfg, mesh))
+    eng2 = ServingEngine(params_sp, cfg, max_batch=2, num_pages=16,
+                         page_size=8, mesh=mesh, kv_dtype=jnp.int8)
+    assert eng2.seq_shards == 4
+    r2 = [eng2.submit(p, max_new_tokens=6) for p in prompts]
+    out2 = eng2.run_to_completion()
+
+    for a, b in zip(r1, r2):
+        assert out1[a] == out2[b], (out1[a], out2[b])
+
+
+def test_engine_seq_mesh_bf16_long_context():
+    """seq-sharded bf16 engine crossing page-shard boundaries mid-decode."""
+    from flash_attn_v100_tpu.models.transformer import param_shardings
+    from flash_attn_v100_tpu.parallel.mesh import make_mesh
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+
+    cfg, params = _make_model()
+    # one seq: prompt 20 + 14 new = 34 tokens -> crosses the 16-token shard
+    # boundary (max_seq_len 64 / seq 4 = 16 tokens per shard)
+    prompt = [int(x) % 60 for x in range(7, 27)]
+    ref = _reference_generate(params, cfg, prompt, 14)
+
+    mesh = make_mesh(data=1, seq=4, model=1)
+    params_sp = jax.device_put(params, param_shardings(params, cfg, mesh))
+    eng = ServingEngine(params_sp, cfg, max_batch=2, num_pages=16,
+                        page_size=8, mesh=mesh)
+    rid = eng.submit(prompt, max_new_tokens=14)
+    out = eng.run_to_completion()
+    assert out[rid] == ref, (out[rid], ref)
