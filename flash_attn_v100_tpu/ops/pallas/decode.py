@@ -226,6 +226,9 @@ def _pick_head_block(Hk: int, page_size: int, D: int, itemsize: int,
     K+V stream AND the Rq-dependent buffers (q tile, fp32 accumulator,
     double-buffered fp32 partial outputs) — at prefill-sized Rq the latter
     dominate and the fold must shrink."""
+    # Mosaic's scoped-VMEM stack limit is 16 MB (measured: 24.9 MB requests
+    # fail to compile); budget half of it so the score tiles, relayouts and
+    # the KV-unroll streams fit beside the accounted buffers.
     budget = 8 * 1024 * 1024
     per_head = (2 * 2 * page_size * D * itemsize   # k+v, double-buffered
                 + rq * D * 2                        # q tile (bf16)
@@ -235,6 +238,14 @@ def _pick_head_block(Hk: int, page_size: int, D: int, itemsize: int,
     hb = max(1, min(Hk, budget // max(per_head, 1)))
     while Hk % hb:
         hb -= 1
+    # hard backstop against the 16 MB compile-time limit: hb == 1 is the
+    # floor, so a single head + page must fit — fail loudly (and early)
+    # instead of a mid-run Mosaic scoped-vmem compile error
+    if hb == 1 and per_head > 15 * 1024 * 1024:
+        raise ValueError(
+            f"decode tile working set {per_head/2**20:.1f} MB exceeds the "
+            f"16 MB scoped VMEM limit even at head_block=1: reduce "
+            f"page_size ({page_size}) or T_new (rq={rq})")
     return hb
 
 

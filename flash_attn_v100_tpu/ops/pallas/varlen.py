@@ -357,7 +357,9 @@ def flash_attn_varlen_fwd(
         interpret = use_interpret()
 
     bs = block_sizes or BlockSizes.for_shape(max_seqlen_q, max_seqlen_k, D)
-    bq, bk = bs.block_q, bs.block_k
+    # varlen blocks ride the LANE axis of the (1, b) segment/position
+    # vectors: Mosaic requires lane-dim block sizes divisible by 128
+    bq, bk = round_up(bs.block_q, 128), round_up(bs.block_k, 128)
     Tqp, Tkp = round_up(Tq, bq), round_up(Tk, bk)
 
     qt = jnp.swapaxes(jnp.pad(q, ((0, Tqp - Tq), (0, 0), (0, 0))), 0, 1)
@@ -684,6 +686,7 @@ def flash_attn_varlen_bwd(
     lse_safe = jnp.maximum(lse, NEG_INF)
 
     def run_pass(bq, bk, which):
+        bq, bk = round_up(bq, 128), round_up(bk, 128)  # lane-axis rule
         Tqp, Tkp = round_up(Tq, bq), round_up(Tk, bk)
         qt = jnp.swapaxes(jnp.pad(q, ((0, Tqp - Tq), (0, 0), (0, 0))), 0, 1)
         kt = jnp.swapaxes(jnp.pad(k, ((0, Tkp - Tk), (0, 0), (0, 0))), 0, 1)

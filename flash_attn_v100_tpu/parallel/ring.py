@@ -218,6 +218,14 @@ def _ring_fwd_loop(cfg: _RingCfg, q, k, v, slopes, seed, b0, h0):
             o_acc, lse_acc = _merge_pair(o_acc, lse_acc, o_new, lse_new)
 
         if s < n - 1:
+            # double-buffer barrier: without it XLA's scheduler hoists the
+            # whole rotation chain to the front of the program (all n
+            # transfers serialized before any attention, n live KV copies —
+            # verified on the AOT v5e schedule).  Tying the rotated chunk to
+            # this step's accumulator makes rotation s+1 issue after
+            # attention s and fly during attention s+1.
+            k_nxt, v_nxt, o_acc, lse_acc = jax.lax.optimization_barrier(
+                (k_nxt, v_nxt, o_acc, lse_acc))
             k_blk, v_blk = k_nxt, v_nxt
     return o_acc, lse_acc
 
@@ -311,6 +319,9 @@ def _ring_bwd_loop(cfg: _RingCfg, q, k, v, o, lse, do, slopes, seed, b0, h0):
         dk_rot = jax.lax.ppermute(dk_rot, cfg.axis_name, perm)
         dv_rot = jax.lax.ppermute(dv_rot, cfg.axis_name, perm)
         if s < n - 1:
+            # same double-buffer barrier as the forward (see _ring_fwd_loop)
+            k_nxt, v_nxt, dk_rot, dv_rot, dq = jax.lax.optimization_barrier(
+                (k_nxt, v_nxt, dk_rot, dv_rot, dq))
             k_blk, v_blk = k_nxt, v_nxt
 
     return dq.astype(q.dtype), dk_rot.astype(k.dtype), dv_rot.astype(v.dtype)

@@ -135,6 +135,41 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
     return logits, k_pool, v_pool
 
 
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """Per-request sampling controls (vLLM-style surface).
+
+    temperature <= 0 means greedy; top_k == 0 means no top-k cut;
+    top_p == 1.0 means no nucleus cut.  All three compose (top-k first,
+    then top-p over the renormalized survivors)."""
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+
+
+def _sample_rows(logits, key, temp, topk, topp):
+    """Per-row sampling of (B, V) fp32 logits entirely on device: rows with
+    temp <= 0 take argmax; others sample from the temperature-scaled
+    distribution restricted to the top-k / top-p (nucleus) sets."""
+    V = logits.shape[-1]
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    t = jnp.maximum(temp, 1e-6)[:, None]
+    x = logits / t
+    sort_idx = jnp.argsort(-x, axis=-1)               # descending
+    x_sorted = jnp.take_along_axis(x, sort_idx, axis=-1)
+    probs = jax.nn.softmax(x_sorted, axis=-1)
+    ranks = jnp.arange(V, dtype=jnp.int32)[None, :]
+    keep = ranks < jnp.where(topk[:, None] > 0, topk[:, None], V)
+    cum = jnp.cumsum(probs, axis=-1)
+    # nucleus: keep tokens until cumulative prob first exceeds top_p
+    keep &= (cum - probs) < topp[:, None]
+    x_sorted = jnp.where(keep, x_sorted, -jnp.inf)
+    samp_sorted = jax.random.categorical(key, x_sorted, axis=-1)
+    sampled = jnp.take_along_axis(
+        sort_idx, samp_sorted[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    return jnp.where(temp <= 0.0, greedy_tok, sampled)
+
+
 @dataclasses.dataclass
 class _Seq:
     """`generated` entries are ints once materialized, or lazy
@@ -149,6 +184,9 @@ class _Seq:
     submitted_at: float = 0.0
     first_token_at: Optional[float] = None
     done: bool = False
+    sampling: Optional["SamplingParams"] = None
+    on_token: Optional[Any] = None    # callback(rid, new_tokens: List[int])
+    streamed: int = 0                 # tokens already delivered to on_token
 
 
 class ServingEngine:
@@ -226,6 +264,8 @@ class ServingEngine:
                 self.v_scales = jax.device_put(self.v_scales, sh)
         self.greedy = greedy
         self.temperature = temperature
+        self.default_sampling = SamplingParams(
+            temperature=0.0 if greedy else float(temperature))
         self._rng = jax.random.PRNGKey(rng_seed)
         self._prev_tok = None               # last step's (max_batch,) tokens
         self.eos_token_id = eos_token_id
@@ -252,26 +292,22 @@ class ServingEngine:
                                            interpret=interpret)
             return logits, kp, vp, ks, vs
 
-        def sample(logits2d, key):
-            if greedy:
-                return jnp.argmax(logits2d, axis=-1).astype(jnp.int32)
-            return jax.random.categorical(
-                key, logits2d / temperature, axis=-1).astype(jnp.int32)
-
-        def prefill_fn(params, kp, vp, ks, vs, toks, cs, bt, last_idx, key):
+        def prefill_fn(params, kp, vp, ks, vs, toks, cs, bt, last_idx, key,
+                       temp, topk, topp):
             logits, kp, vp, ks, vs = core(params, kp, vp, ks, vs, toks, cs, bt)
             last = jnp.take_along_axis(
                 logits, last_idx[:, None, None], axis=1)[:, 0]
-            return sample(last, key), kp, vp, ks, vs
+            return _sample_rows(last, key, temp, topk, topp), kp, vp, ks, vs
 
         def decode_fn(params, kp, vp, ks, vs, prev_tok, gather_idx, use_host,
-                      host_toks, cs, bt, key):
+                      host_toks, cs, bt, key, temp, topk, topp):
             toks = jnp.where(use_host, host_toks, prev_tok[gather_idx])
             logits, kp, vp, ks, vs = core(params, kp, vp, ks, vs,
                                           toks[:, None], cs, bt)
             # cs advances deterministically: steady-state steps reuse the
             # returned device array — no host->device transfer on the loop
-            return sample(logits[:, 0], key), cs + 1, kp, vp, ks, vs
+            return (_sample_rows(logits[:, 0], key, temp, topk, topp),
+                    cs + 1, kp, vp, ks, vs)
 
         dn = (1, 2, 3, 4) if self.quantized else (1, 2)
         self._prefill_fn = jax.jit(prefill_fn, donate_argnums=dn)
@@ -284,7 +320,15 @@ class ServingEngine:
 
     # ---- request API ----
 
-    def submit(self, prompt: List[int], max_new_tokens: int = 64) -> int:
+    def submit(self, prompt: List[int], max_new_tokens: int = 64,
+               sampling: Optional[SamplingParams] = None,
+               on_token=None) -> int:
+        """`sampling` overrides the engine default per request.  `on_token`
+        is called as on_token(rid, new_tokens) whenever this request's
+        tokens materialize on the host — at the periodic EOS sweep, on
+        re-prefill, and at completion (tokens stay device-resident between
+        sweeps by design, so streaming granularity is the sweep interval,
+        not per step)."""
         if not prompt:
             raise ValueError("empty prompt")
         if len(prompt) + max_new_tokens > self.cfg.max_seq_len:
@@ -292,7 +336,8 @@ class ServingEngine:
         rid = self._next_id
         self._next_id += 1
         self._seqs[rid] = _Seq(rid, list(prompt), max_new_tokens,
-                               submitted_at=time.monotonic())
+                               submitted_at=time.monotonic(),
+                               sampling=sampling, on_token=on_token)
         ok = self.sched.add(rid, len(prompt), max_new_tokens)
         assert ok
         return rid
@@ -309,12 +354,16 @@ class ServingEngine:
         for e in s.generated:
             if not isinstance(e, int):
                 uniq.setdefault(id(e[0]), e[0])
-        if not uniq:
-            return
-        fetched = {k: v for k, v in zip(uniq, jax.device_get(list(uniq.values())))}
-        s.generated = [e if isinstance(e, int)
-                       else int(fetched[id(e[0])][e[1]])
-                       for e in s.generated]
+        if uniq:
+            fetched = {k: v for k, v in zip(uniq,
+                                            jax.device_get(list(uniq.values())))}
+            s.generated = [e if isinstance(e, int)
+                           else int(fetched[id(e[0])][e[1]])
+                           for e in s.generated]
+        if s.on_token is not None and len(s.generated) > s.streamed:
+            new = s.generated[s.streamed:]
+            s.streamed = len(s.generated)
+            s.on_token(s.id, [int(t) for t in new])
 
     def result(self, rid: int) -> List[int]:
         s = self._seqs[rid]
@@ -344,10 +393,20 @@ class ServingEngine:
         return bt
 
     def _next_key(self):
-        if self.greedy:
-            return self._rng          # unused by the greedy sampler
         self._rng, sub = jax.random.split(self._rng)
         return sub
+
+    def _sampling_arrays(self, ids: List[int]):
+        """(temperature, top_k, top_p) per batch row, padded rows greedy."""
+        temp = np.zeros((self.max_batch,), np.float32)
+        topk = np.zeros((self.max_batch,), np.int32)
+        topp = np.ones((self.max_batch,), np.float32)
+        for row, sid in enumerate(ids):
+            sp = self._seqs[sid].sampling or self.default_sampling
+            temp[row] = sp.temperature
+            topk[row] = sp.top_k
+            topp[row] = sp.top_p
+        return jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp)
 
     def step(self) -> List[int]:
         """Advance every running sequence one token.  Returns ids finished
@@ -389,6 +448,9 @@ class ServingEngine:
             s.generated = [e if isinstance(e, int)
                            else int(fetched[id(e[0])][e[1]])
                            for e in s.generated]
+            if s.on_token is not None and len(s.generated) > s.streamed:
+                s.on_token(sid, [int(t) for t in s.generated[s.streamed:]])
+                s.streamed = len(s.generated)
             if self.eos_token_id in s.generated:
                 s.generated = s.generated[:s.generated.index(self.eos_token_id) + 1]
                 self.sched.finish(sid)
@@ -425,13 +487,14 @@ class ServingEngine:
             toks[row, :lens[row]] = s
             last_idx[row] = lens[row] - 1   # sample at the last REAL position
         cs = np.zeros((self.max_batch,), np.int32)  # append from position 0
+        temp, topk, topp = self._sampling_arrays(ids)
         (tok, self.k_pool, self.v_pool,
          self.k_scales, self.v_scales) = self._prefill_fn(
             self.params, self.k_pool, self.v_pool,
             self.k_scales, self.v_scales,
             jnp.asarray(toks), jnp.asarray(cs),
             jnp.asarray(self._block_table(ids)), jnp.asarray(last_idx),
-            self._next_key())
+            self._next_key(), temp, topk, topp)
         self._emit(ids, tok, finished, first=True)
         self.metrics["prefill_tokens"] += int(sum(lens))
         # NOTE: rows were padded to the bucket; the garbage KV the padding
@@ -458,8 +521,10 @@ class ServingEngine:
                           for row, sid in enumerate(ids)))
         if steady:
             # zero host->device traffic: identity gather from the previous
-            # step's tokens, cached block table, device-incremented cs
+            # step's tokens, cached block table, device-incremented cs,
+            # cached per-row sampling arrays
             bt_dev, cs_dev = st[2], st[3]
+            temp, topk, topp = st[4]
             gather_idx, use_host, host_toks = (
                 self._id_gather, self._all_dev, self._zero_toks)
         else:
@@ -484,17 +549,18 @@ class ServingEngine:
             gather_idx = jnp.asarray(gather_np)
             use_host = jnp.asarray(usehost_np)
             host_toks = jnp.asarray(hosttok_np)
+            temp, topk, topp = self._sampling_arrays(ids)
         (tok, cs_next, self.k_pool, self.v_pool,
          self.k_scales, self.v_scales) = self._decode_fn(
             self.params, self.k_pool, self.v_pool,
             self.k_scales, self.v_scales,
             prev if prev is not None else self._zero_toks,
             gather_idx, use_host, host_toks, cs_dev, bt_dev,
-            self._next_key())
+            self._next_key(), temp, topk, topp)
         self._emit(ids, tok, finished)
         # next step is steady if the batch stays identical and no sequence
         # crossed a page boundary (counts recomputed then)
-        self._steady = (ids_t, counts, bt_dev, cs_next)
+        self._steady = (ids_t, counts, bt_dev, cs_next, (temp, topk, topp))
 
     def _emit(self, ids: List[int], tokens: np.ndarray, finished: List[int],
               first: bool = False) -> None:

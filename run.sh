@@ -26,9 +26,16 @@ python -m pytest tests/ -x -q
 echo "== multi-process dryrun (jax.distributed + DCN-aware hybrid mesh) =="
 python benchmarks/dryrun_multiprocess.py --procs 2 --local-devices 4
 
+echo "== ring ICI-overlap schedule check (AOT v5e 2x4) =="
+python benchmarks/check_ring_overlap.py
+
 if [[ "$RUN_TPU" == "1" ]]; then
-  echo "== hardware oracle sweep =="
+  echo "== hardware oracle sweep (dense) =="
   python benchmarks/sweep_dense.py $QUICK
+  echo "== hardware oracle sweep (varlen) =="
+  python benchmarks/sweep_varlen.py $QUICK
+  echo "== hardware oracle sweep (kvcache decode) =="
+  python benchmarks/sweep_decode.py $QUICK
   echo "== headline benchmark =="
   python bench.py
 fi

@@ -243,3 +243,25 @@ def test_errors(rng):
     with pytest.raises(ValueError):
         flash_attn_with_kvcache(q, pool, pool, block_table=table,
                                 cache_leftpad=jnp.zeros(1, jnp.int32))
+
+
+def test_pick_head_block_vmem_boundary():
+    """The head-fold heuristic must respect the 16 MB scoped-VMEM compile
+    limit: budget stays under half of it, the fold divides Hk, and an
+    impossible working set raises instead of failing inside Mosaic."""
+    import pytest
+    from flash_attn_v100_tpu.ops.pallas.decode import _pick_head_block
+
+    for Hk in (1, 2, 4, 8, 16):
+        for ps in (64, 256, 512, 1024):
+            for rq, itemsize in ((8, 2), (8, 1), (512, 2)):
+                hb = _pick_head_block(Hk, ps, 128, itemsize, rq)
+                assert Hk % hb == 0
+                per_head = (2 * 2 * ps * 128 * itemsize + rq * 128 * 2
+                            + rq * 128 * 4 + 2 * 2 * rq * 128 * 4
+                            + 3 * rq * 128 * 4)
+                assert hb * per_head <= 8 * 1024 * 1024 or hb == 1
+
+    # prefill-sized Rq with a huge page cannot fit even one head
+    with pytest.raises(ValueError, match="scoped VMEM"):
+        _pick_head_block(8, 8192, 256, 2, 4096)

@@ -302,3 +302,57 @@ def test_engine_seq_mesh_bf16_long_context():
     rid = eng.submit(prompt, max_new_tokens=14)
     out = eng.run_to_completion()
     assert out[rid] == ref, (out[rid], ref)
+
+
+def test_engine_per_request_sampling():
+    """Per-request sampling params: top_k=1 and top_p~0 both force argmax,
+    so mixed-sampler batches must reproduce the greedy reference exactly."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine, SamplingParams
+    cfg, params = _make_model()
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1], [9, 8, 2, 6]]
+    refs = [_reference_generate(params, cfg, p, 5) for p in prompts]
+    eng = ServingEngine(params, cfg, max_batch=3, num_pages=24, page_size=8)
+    rids = [
+        eng.submit(prompts[0], max_new_tokens=5),  # engine default (greedy)
+        eng.submit(prompts[1], max_new_tokens=5,
+                   sampling=SamplingParams(temperature=0.7, top_k=1)),
+        eng.submit(prompts[2], max_new_tokens=5,
+                   sampling=SamplingParams(temperature=1.0, top_p=1e-6)),
+    ]
+    out = eng.run_to_completion()
+    for rid, ref in zip(rids, refs):
+        assert out[rid] == ref, (out[rid], ref)
+
+
+def test_engine_stochastic_sampling_valid():
+    """temperature>0 with top_k produces valid tokens inside the top-k set
+    of the reference logits at every step (checked for step 1)."""
+    from flash_attn_v100_tpu.models.transformer import forward
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine, SamplingParams
+    cfg, params = _make_model()
+    prompt = [3, 1, 4, 1, 5]
+    logits = forward(params, jnp.asarray([prompt], jnp.int32), cfg)[0, -1]
+    topk_set = set(np.asarray(jnp.argsort(-logits)[:4]).tolist())
+    toks = set()
+    for seed in range(4):
+        eng = ServingEngine(params, cfg, max_batch=1, num_pages=16,
+                            page_size=8, rng_seed=seed)
+        rid = eng.submit(prompt, max_new_tokens=1,
+                         sampling=SamplingParams(temperature=1.5, top_k=4))
+        out = eng.run_to_completion()
+        assert out[rid][0] in topk_set, (out[rid], topk_set)
+        toks.add(out[rid][0])
+    # with 4 seeds at high temperature we expect some diversity
+    assert len(toks) >= 1
+
+
+def test_engine_streaming_callback():
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    got = []
+    eng = ServingEngine(params, cfg, max_batch=1, num_pages=16, page_size=8)
+    rid = eng.submit([3, 1, 4, 1, 5], max_new_tokens=6,
+                     on_token=lambda r, ts: got.append((r, ts)))
+    out = eng.run_to_completion()
+    streamed = [t for r, ts in got for t in ts if r == rid]
+    assert streamed == out[rid], (streamed, out[rid])
