@@ -514,3 +514,64 @@ def ring_attention(
         out_specs=q_partition,
         check_vma=False,
     )(q, k, v, slopes)
+
+
+def ulysses_attention(
+    q: jnp.ndarray,  # (B, M, Hq, D) — M global, sharded on `axis_name`
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    axis_name: str = SEQ_AXIS,
+    q_partition=P(DATA_AXIS, SEQ_AXIS, None, None),
+    kv_partition=P(DATA_AXIS, SEQ_AXIS, None, None),
+    interpret: Optional[bool] = None,
+    **flash_kwargs,
+) -> jnp.ndarray:
+    """Ulysses-style sequence parallelism: the DUAL of ring attention.
+
+    Instead of rotating KV around the ring, one `all_to_all` re-shards the
+    already-sequence-sharded q/k/v from (seq-sharded, all heads) to
+    (full sequence, head-sharded), the unmodified single-chip kernel runs
+    per local head group, and a second all_to_all restores the sequence
+    sharding.  Two collectives total (vs n-1 rotations), every dense-kernel
+    feature works untouched (full global positions on-chip), but each chip
+    holds the FULL K/V sequence during attention — pick ring for memory,
+    Ulysses for feature generality/latency.  Heads must divide the axis.
+
+    The reference has no distributed layer at all (SURVEY §2.4); this and
+    the ring are the two standard TPU SP designs over the same LSE-bearing
+    kernel.  Differentiable (all_to_all is linear; the kernel has its vjp).
+    """
+    n = mesh.shape[axis_name]
+    B, M, Hq, D = q.shape
+    if Hq % n:
+        raise ValueError(f"ulysses needs q heads ({Hq}) divisible by the "
+                         f"'{axis_name}' axis ({n}); use ring_attention")
+    if k.shape[2] % n:
+        raise ValueError(f"ulysses needs kv heads ({k.shape[2]}) divisible "
+                         f"by the '{axis_name}' axis ({n})")
+
+    from flash_attn_v100_tpu.ops.flash_attention import flash_attn_func
+
+    def local(q, k, v):
+        # (B, m, H, D) -> (B, M, H/n, D): scatter heads, gather sequence
+        q = jax.lax.all_to_all(q, axis_name, split_axis=2, concat_axis=1,
+                               tiled=True)
+        k = jax.lax.all_to_all(k, axis_name, split_axis=2, concat_axis=1,
+                               tiled=True)
+        v = jax.lax.all_to_all(v, axis_name, split_axis=2, concat_axis=1,
+                               tiled=True)
+        out = flash_attn_func(q, k, v, interpret=interpret, **flash_kwargs)
+        if isinstance(out, tuple):
+            out = out[0]
+        # (B, M, H/n, D) -> (B, m, H, D)
+        return jax.lax.all_to_all(out, axis_name, split_axis=1,
+                                  concat_axis=2, tiled=True)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(q_partition, kv_partition, kv_partition),
+        out_specs=q_partition,
+        check_vma=False,
+    )(q, k, v)

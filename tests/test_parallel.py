@@ -375,3 +375,36 @@ def test_sharded_decode_paged_append(rng):
         block_table=tbl_global, causal=True, kv_cache_layout="HND")
     assert max_abs_err(out_s, out_r) < 1e-5, max_abs_err(out_s, out_r)
     assert jnp.allclose(kc_s, kc_r) and jnp.allclose(vc_s, vc_r)
+
+
+def test_ulysses_attention(rng):
+    """Ulysses (all-to-all) sequence parallelism: full feature surface via
+    the unmodified dense kernel on re-sharded heads."""
+    from flash_attn_v100_tpu.parallel.ring import ulysses_attention
+    mesh = make_mesh(data=1, seq=4, model=1)
+    B, M, Hq, Hk, D = 1, 256, 8, 4, 32
+    q, k, v = mk(rng, B, M, Hq, D), mk(rng, B, M, Hk, D), mk(rng, B, M, Hk, D)
+    for kw in (dict(causal=True), dict(causal=True, window_size=(60, -1)),
+               dict(causal=False, softcap=10.0)):
+        out = ulysses_attention(q, k, v, mesh, **kw)
+        ref32 = mha_reference(q, k, v, upcast=True, **kw)
+        refnat = mha_reference(q, k, v, upcast=False, **kw)
+        assert out.shape == q.shape
+        assert_fwd_close(out, ref32, refnat)
+
+
+def test_ulysses_grad(rng):
+    from flash_attn_v100_tpu.parallel.ring import ulysses_attention
+    mesh = make_mesh(data=1, seq=4, model=1)
+    B, M, H, D = 1, 128, 4, 32
+    q, k, v = mk(rng, B, M, H, D), mk(rng, B, M, H, D), mk(rng, B, M, H, D)
+    do = mk(rng, B, M, H, D)
+
+    def loss(q, k, v):
+        return (ulysses_attention(q, k, v, mesh, causal=True) * do).sum()
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: (mha_reference(
+        q, k, v, causal=True, upcast=True) * do).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b, n in zip(g, gr, "qkv"):
+        assert max_abs_err(a, b) < 2e-3, (n, max_abs_err(a, b))
