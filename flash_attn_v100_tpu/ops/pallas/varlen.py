@@ -176,16 +176,31 @@ def block_aggregates(seg, pos_plus, num_blocks: int, block: int):
     seg_max = jnp.max(seg2, axis=1)
     val_min = jnp.min(jnp.where(valid, val2, BIG), axis=1)
     val_max = jnp.max(jnp.where(valid, val2, -BIG), axis=1)
-    return jnp.stack([seg_min, seg_max, val_min, val_max]).astype(jnp.int32)
+    # row 4: the per-SEQUENCE constant t = pos_plus - packed_index (for q:
+    # offs - cu_q[seg]; for k: -(cu_k[seg] + leftpad)).  For a
+    # uniform-sequence tile this collapses the causal/window masks to a
+    # scalar threshold against the STATIC local iota diff — the SEMI-FAST
+    # path of partially-valid single-sequence (diagonal) tiles.
+    idx = jnp.arange(num_blocks * block, dtype=jnp.int32).reshape(
+        num_blocks, block)
+    t2 = val2 - idx
+    t_val = jnp.max(jnp.where(valid, t2, -BIG), axis=1)
+    return jnp.stack([seg_min, seg_max, val_min, val_max,
+                      t_val]).astype(jnp.int32)
+
+
+def _tile_uniform(qagg_ref, kagg_ref, qi, ki):
+    """Every (row, col) of the tile lies in ONE common sequence."""
+    qs_min, qs_max = qagg_ref[0, qi], qagg_ref[1, qi]
+    ks_min, ks_max = kagg_ref[0, ki], kagg_ref[1, ki]
+    return ((qs_min == qs_max) & (ks_min == ks_max) & (qs_min == ks_min)
+            & (qs_min >= 0))
 
 
 def _tile_fast(params: masklib.MaskParams, qagg_ref, kagg_ref, qi, ki):
     """Fast-path predicate from the prefetched block aggregates: every
     (row, col) of the tile is in one common sequence and unmasked."""
-    qs_min, qs_max = qagg_ref[0, qi], qagg_ref[1, qi]
-    ks_min, ks_max = kagg_ref[0, ki], kagg_ref[1, ki]
-    fast = ((qs_min == qs_max) & (ks_min == ks_max) & (qs_min == ks_min)
-            & (qs_min >= 0))
+    fast = _tile_uniform(qagg_ref, kagg_ref, qi, ki)
     wr = params.effective_window_right()
     if wr >= 0:
         # max k_pos <= min (q_pos + offs) + wr
@@ -193,6 +208,41 @@ def _tile_fast(params: masklib.MaskParams, qagg_ref, kagg_ref, qi, ki):
     if params.window_left >= 0:
         fast &= kagg_ref[2, ki] >= qagg_ref[3, qi] - params.window_left
     return fast
+
+
+def _semifast_mask(params: masklib.MaskParams, qagg_ref, kagg_ref, qi, ki,
+                   q_start, k_start, block_q: int, block_k: int,
+                   transposed: bool = False):
+    """Causal/window mask of a UNIFORM-sequence tile as scalar-threshold
+    compares against the static local iota diff — replaces the per-token
+    ragged pipeline on diagonal tiles (the dense kernels' block-local form
+    with a traced threshold).
+
+    t_q - t_k (the row-4 aggregates) equals offs + base_k - base_q of the
+    common sequence; valid_causal(row, col) <=> (col + k_start) - (row +
+    q_start) <= t_q - t_k."""
+    if transposed:
+        q_axis, k_axis = 1, 0
+        shape = (block_k, block_q)
+    else:
+        q_axis, k_axis = 0, 1
+        shape = (block_q, block_k)
+    diff = (jax.lax.broadcasted_iota(jnp.int32, shape, k_axis)
+            - jax.lax.broadcasted_iota(jnp.int32, shape, q_axis))
+    thr = (qagg_ref[4, qi] - kagg_ref[4, ki]) + q_start - k_start
+    valid = None
+
+    def conj(a, b):
+        return b if a is None else a & b
+
+    wr = params.effective_window_right()
+    if wr >= 0:
+        valid = conj(valid, diff <= thr + wr)
+    if params.window_left >= 0:
+        valid = conj(valid, diff >= thr - params.window_left)
+    if valid is None:
+        valid = jnp.ones(shape, jnp.bool_)
+    return valid
 
 
 def _slope_tokens(alibi_slopes, q_seg, Hq):
@@ -254,7 +304,7 @@ def _varlen_fwd_kernel(
     c = LOG2E if use_exp2 else 1.0
     expf = jnp.exp2 if use_exp2 else jnp.exp
 
-    def body(masked: bool):
+    def body(mode: str):
         q = q_ref[0]
         k = k_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -262,7 +312,8 @@ def _varlen_fwd_kernel(
 
         q_pos = qpos_ref[...]
         k_pos = kpos_ref[...]
-        if masked:
+        valid = None
+        if mode == "general":
             offs = qoff_ref[...]
             alibi_slope = (slope_ref[0] * c) if has_alibi else None  # (bq, 1)
             s, valid = masklib.apply_score_pipeline_ragged(
@@ -271,12 +322,17 @@ def _varlen_fwd_kernel(
                 alibi_slope=alibi_slope,
             )
         else:
-            # fast path (single common sequence, tile fully valid): the
-            # whole ragged mask/where pipeline vanishes; softcap still
-            # applies (position-free)
+            # fast (fully valid) / semi (uniform-sequence diagonal): no
+            # per-token segment pipeline; softcap is position-free
             s = s * (softmax_scale * c)
             if params.softcap > 0.0:
                 s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
+            if mode == "semi":
+                valid = _semifast_mask(
+                    params, qagg_ref, kagg_ref, qi,
+                    jnp.minimum(ki, num_kv_blocks_total - 1),
+                    qi * block_q, ki * block_k, block_q, block_k)
+                s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -284,7 +340,7 @@ def _varlen_fwd_kernel(
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = expf(m_prev - m_next)
         p = expf(s - m_next[:, :1])
-        if masked:
+        if valid is not None:
             p = jnp.where(valid, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
@@ -305,20 +361,25 @@ def _varlen_fwd_kernel(
         # alibi needs per-element positions anyway; single general path
         @pl.when(run)
         def _compute():
-            body(masked=True)
+            body("general")
     else:
         # ki may run past the live range on dead window steps: clip the
         # aggregate lookup (run is False there; fast's value is irrelevant)
         ki_c = jnp.minimum(ki, num_kv_blocks_total - 1)
+        uniform = _tile_uniform(qagg_ref, kagg_ref, qi, ki_c)
         fast = _tile_fast(params, qagg_ref, kagg_ref, qi, ki_c)
 
         @pl.when(run & fast)
         def _fast():
-            body(masked=False)
+            body("fast")
 
-        @pl.when(run & jnp.logical_not(fast))
-        def _masked():
-            body(masked=True)
+        @pl.when(run & uniform & jnp.logical_not(fast))
+        def _semi():
+            body("semi")
+
+        @pl.when(run & jnp.logical_not(uniform))
+        def _general():
+            body("general")
 
     @pl.when(kin == pl.num_programs(2) - 1)
     def _store():
@@ -490,7 +551,7 @@ def _varlen_dq_kernel(
     k_seg = kseg_ref[...]
     run = (ki <= hi_ref[qi]) & masklib.ragged_block_overlaps(q_seg, k_seg)
 
-    def body(masked: bool):
+    def body(mode: str):
         q = q_ref[0]
         kk = k_ref[0]
         vv = v_ref[0]
@@ -499,7 +560,7 @@ def _varlen_dq_kernel(
                                 preferred_element_type=jnp.float32)
         q_pos = qpos_ref[...]
         k_pos = kpos_ref[...]
-        if masked:
+        if mode == "general":
             alibi_slope = slope_ref[0] if has_alibi else None
             s, valid = masklib.apply_score_pipeline_ragged(
                 s, q_pos, k_pos, q_seg, k_seg, qoff_ref[...],
@@ -511,9 +572,15 @@ def _varlen_dq_kernel(
             if params.softcap > 0.0:
                 s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
             valid = None
+            if mode == "semi":
+                valid = _semifast_mask(
+                    params, qagg_ref, kagg_ref, qi,
+                    jnp.minimum(ki, num_kv_blocks_total - 1),
+                    qi * block_q, ki * block_k, block_q, block_k)
+                s = jnp.where(valid, s, NEG_INF)
         lse_rows = lse_ref[0]      # (bq, 1)
         delta_rows = delta_ref[0]
-        if masked:
+        if valid is not None:
             p = _recompute_p(s, valid, lse_rows)
         else:
             p = jnp.exp(jnp.minimum(s - lse_rows, 0.0))
@@ -535,18 +602,23 @@ def _varlen_dq_kernel(
     if has_alibi:
         @pl.when(run)
         def _compute():
-            body(masked=True)
+            body("general")
     else:
         ki_c = jnp.minimum(ki, num_kv_blocks_total - 1)
+        uniform = _tile_uniform(qagg_ref, kagg_ref, qi, ki_c)
         fast = _tile_fast(params, qagg_ref, kagg_ref, qi, ki_c)
 
         @pl.when(run & fast)
         def _fast():
-            body(masked=False)
+            body("fast")
 
-        @pl.when(run & jnp.logical_not(fast))
-        def _masked():
-            body(masked=True)
+        @pl.when(run & uniform & jnp.logical_not(fast))
+        def _semi():
+            body("semi")
+
+        @pl.when(run & jnp.logical_not(uniform))
+        def _general():
+            body("general")
 
     @pl.when(kin == pl.num_programs(2) - 1)
     def _store():
@@ -589,7 +661,7 @@ def _varlen_dkv_kernel(
     k_seg = kseg_ref[...]  # (bk, 1)
     run = (qi <= hi_ref[ki]) & masklib.ragged_block_overlaps(q_seg, k_seg)
 
-    def body(masked: bool):
+    def body(mode: str):
         q = q_ref[0]
         kk = k_ref[0]
         vv = v_ref[0]
@@ -598,7 +670,7 @@ def _varlen_dkv_kernel(
                                  preferred_element_type=jnp.float32)  # (bk, bq)
         q_pos = qpos_ref[...]  # (1, bq)
         k_pos = kpos_ref[...]  # (bk, 1)
-        if masked:
+        if mode == "general":
             alibi_slope = slope_ref[0] if has_alibi else None  # (1, bq)
             st, valid = masklib.apply_score_pipeline_ragged(
                 st, q_pos, k_pos, q_seg, k_seg, qoff_ref[...],
@@ -610,9 +682,16 @@ def _varlen_dkv_kernel(
             if params.softcap > 0.0:
                 st = params.softcap * jnp.tanh(st * (1.0 / params.softcap))
             valid = None
+            if mode == "semi":
+                valid = _semifast_mask(
+                    params, qagg_ref, kagg_ref,
+                    jnp.minimum(qi, num_q_blocks_total - 1), ki,
+                    qi * block_q, ki * block_k, block_q, block_k,
+                    transposed=True)
+                st = jnp.where(valid, st, NEG_INF)
         lse_cols = lse_ref[0]      # (1, bq)
         delta_cols = delta_ref[0]
-        if masked:
+        if valid is not None:
             pt = _recompute_p(st, valid, lse_cols)
         else:
             pt = jnp.exp(jnp.minimum(st - lse_cols, 0.0))
@@ -637,18 +716,23 @@ def _varlen_dkv_kernel(
     if has_alibi:
         @pl.when(run)
         def _compute():
-            body(masked=True)
+            body("general")
     else:
         qi_c = jnp.minimum(qi, num_q_blocks_total - 1)
+        uniform = _tile_uniform(qagg_ref, kagg_ref, qi_c, ki)
         fast = _tile_fast(params, qagg_ref, kagg_ref, qi_c, ki)
 
         @pl.when(run & fast)
         def _fast():
-            body(masked=False)
+            body("fast")
 
-        @pl.when(run & jnp.logical_not(fast))
-        def _masked():
-            body(masked=True)
+        @pl.when(run & uniform & jnp.logical_not(fast))
+        def _semi():
+            body("semi")
+
+        @pl.when(run & jnp.logical_not(uniform))
+        def _general():
+            body("general")
 
     @pl.when(t == pl.num_programs(2) - 1)
     def _store():
