@@ -92,6 +92,19 @@ def main():
                       onat, flat=0.1)
     print(f"  ({time.time()-t0:.1f}s)", flush=True)
 
+    # fp8 e4m3 pools (quarter... half bytes + finer dynamic range than int8)
+    t0 = time.time()
+    kq8, ks8 = quantize_kv(kpool, jnp.float8_e4m3fn)
+    vq8, vs8 = quantize_kv(vpool, jnp.float8_e4m3fn)
+    outf8 = jax.jit(lambda q, a, b, c, d: flash_attn_with_kvcache(
+        q, a, b, cache_seqlens=cs, block_table=table, causal=True,
+        k_scales=c, v_scales=d, kv_cache_layout="HND"))(qd, kq8, vq8, ks8, vs8)
+    o32n, onatn = _oracle(qd, kc, vc, cache_seqlens=np.asarray(cs),
+                          causal=True)
+    fails += not gate(f"paged {ctx//1024}k FP8-e4m3", outf8, o32n, onatn,
+                      flat=0.1)
+    print(f"  ({time.time()-t0:.1f}s)", flush=True)
+
     # ---- contiguous caches: T_new=3 append, leftpad, batch_idx, window ----
     t0 = time.time()
     N = 2048

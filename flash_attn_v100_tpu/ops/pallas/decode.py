@@ -311,7 +311,10 @@ def paged_decode_attention(
     U = kv_unroll if kv_unroll else 1
     if kv_unroll is None:
         per_page = 2 * hb * page_size * D * k_pages.dtype.itemsize
-        while U < 8 and per_page * U < (1 << 20) and U * 2 <= nb:
+        # cap at 4 streams: measured on v5e, U=8 at tiny (64-token) pages is
+        # WORSE than U=2-4 (per-stream DMA bookkeeping overtakes the saved
+        # fixed step cost)
+        while U < 4 and per_page * U < (1 << 20) and U * 2 <= nb:
             U *= 2
         while U > 1 and 2 * per_page * U > (12 << 20):
             U //= 2

@@ -98,8 +98,9 @@ def build_seed_vec(dropout_seed, pos_base=None) -> jnp.ndarray:
 
 
 def _fwd_kernel(
-    # scalar prefetch: the flattened live-pair maps
-    qi_ref, ki_ref, first_ref, last_ref,
+    # scalar prefetch: the flattened live-pair maps, one (4, T) i32 array
+    # [qi; ki; first; last] (one SMEM operand instead of four)
+    pairs_ref,
     *refs,
     params: masklib.MaskParams,
     softmax_scale: float,
@@ -125,15 +126,15 @@ def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[idx:]
 
     b, h, t = (pl.program_id(i) for i in range(3))
-    qi = qi_ref[t]
-    ki = ki_ref[t]
+    qi = pairs_ref[0, t]
+    ki = pairs_ref[1, t]
     q_start = qi * block_q
     k_start = ki * block_k
     padded_q = seqlen_q % block_q != 0
     padded_k = seqlen_k % block_k != 0
     needs_p_zero = params.window_left >= 0 or offset < 0
 
-    @pl.when(first_ref[t] == 1)
+    @pl.when(pairs_ref[2, t] == 1)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
@@ -227,7 +228,7 @@ def _fwd_kernel(
     else:
         body(masked=False)
 
-    @pl.when(last_ref[t] == 1)
+    @pl.when(pairs_ref[3, t] == 1)
     def _store():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
@@ -306,11 +307,11 @@ def flash_attn_dense_fwd(
 
     in_specs += [
         pl.BlockSpec((1, 1, bq, D),
-                     lambda b, h, t, qi, ki, f, l: (b, h, qi[t], 0)),
+                     lambda b, h, t, mp: (b, h, mp[0, t], 0)),
         pl.BlockSpec((1, 1, bk, D),
-                     lambda b, h, t, qi, ki, f, l: (b, h // group, ki[t], 0)),
+                     lambda b, h, t, mp: (b, h // group, mp[1, t], 0)),
         pl.BlockSpec((1, 1, bk, D),
-                     lambda b, h, t, qi, ki, f, l: (b, h // group, ki[t], 0)),
+                     lambda b, h, t, mp: (b, h // group, mp[1, t], 0)),
     ]
     inputs += [qt, kt, vt]
 
@@ -320,9 +321,9 @@ def flash_attn_dense_fwd(
     )
     out_specs = (
         pl.BlockSpec((1, 1, bq, D),
-                     lambda b, h, t, qi, ki, f, l: (b, h, qi[t], 0)),
+                     lambda b, h, t, mp: (b, h, mp[0, t], 0)),
         pl.BlockSpec((1, 1, bq, 1),
-                     lambda b, h, t, qi, ki, f, l: (b, h, qi[t], 0)),
+                     lambda b, h, t, mp: (b, h, mp[0, t], 0)),
     )
     scratch_shapes = [
         pltpu.VMEM((bq, MIN_LANES), jnp.float32),
@@ -338,13 +339,14 @@ def flash_attn_dense_fwd(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
     )
 
+    pairs = jnp.asarray(np.stack([qi_of, ki_of, first_of, last_of]))
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -353,8 +355,7 @@ def flash_attn_dense_fwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(qi_of), jnp.asarray(ki_of), jnp.asarray(first_of),
-      jnp.asarray(last_of), *inputs)
+    )(pairs, *inputs)
 
     out = jnp.swapaxes(out[:, :, :M], 1, 2)
     lse = lse[:, :, :M, 0]

@@ -150,24 +150,37 @@ class SamplingParams:
 def _sample_rows(logits, key, temp, topk, topp):
     """Per-row sampling of (B, V) fp32 logits entirely on device: rows with
     temp <= 0 take argmax; others sample from the temperature-scaled
-    distribution restricted to the top-k / top-p (nucleus) sets."""
-    V = logits.shape[-1]
+    distribution restricted to the top-k / top-p (nucleus) sets.
+
+    The (B, V) argsort the top-k/top-p machinery needs is NOT free at real
+    vocab sizes, so an all-greedy batch (the common serving default) takes
+    a `lax.cond` branch that runs only the argmax."""
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    t = jnp.maximum(temp, 1e-6)[:, None]
-    x = logits / t
-    sort_idx = jnp.argsort(-x, axis=-1)               # descending
-    x_sorted = jnp.take_along_axis(x, sort_idx, axis=-1)
-    probs = jax.nn.softmax(x_sorted, axis=-1)
-    ranks = jnp.arange(V, dtype=jnp.int32)[None, :]
-    keep = ranks < jnp.where(topk[:, None] > 0, topk[:, None], V)
-    cum = jnp.cumsum(probs, axis=-1)
-    # nucleus: keep tokens until cumulative prob first exceeds top_p
-    keep &= (cum - probs) < topp[:, None]
-    x_sorted = jnp.where(keep, x_sorted, -jnp.inf)
-    samp_sorted = jax.random.categorical(key, x_sorted, axis=-1)
-    sampled = jnp.take_along_axis(
-        sort_idx, samp_sorted[:, None], axis=-1)[:, 0].astype(jnp.int32)
-    return jnp.where(temp <= 0.0, greedy_tok, sampled)
+
+    def sampled_branch(args):
+        logits, key, temp, topk, topp = args
+        V = logits.shape[-1]
+        t = jnp.maximum(temp, 1e-6)[:, None]
+        x = logits / t
+        sort_idx = jnp.argsort(-x, axis=-1)           # descending
+        x_sorted = jnp.take_along_axis(x, sort_idx, axis=-1)
+        probs = jax.nn.softmax(x_sorted, axis=-1)
+        ranks = jnp.arange(V, dtype=jnp.int32)[None, :]
+        keep = ranks < jnp.where(topk[:, None] > 0, topk[:, None], V)
+        cum = jnp.cumsum(probs, axis=-1)
+        # nucleus: keep tokens until cumulative prob first exceeds top_p
+        keep &= (cum - probs) < topp[:, None]
+        x_sorted = jnp.where(keep, x_sorted, -jnp.inf)
+        samp_sorted = jax.random.categorical(key, x_sorted, axis=-1)
+        sampled = jnp.take_along_axis(
+            sort_idx, samp_sorted[:, None], axis=-1)[:, 0].astype(jnp.int32)
+        return jnp.where(temp <= 0.0, greedy_tok, sampled)
+
+    return jax.lax.cond(
+        jnp.all(temp <= 0.0),
+        lambda args: greedy_tok,
+        sampled_branch,
+        (logits, key, temp, topk, topp))
 
 
 @dataclasses.dataclass
