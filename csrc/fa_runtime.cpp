@@ -13,7 +13,13 @@
 //   * PagedAllocator — fixed pool of KV pages; per-sequence page lists;
 //     O(1) alloc/free via a free list.  The page ids it hands out are the
 //     rows of the device-side page pool; Python mirrors them into the
-//     block_table argument of flash_attn_with_kvcache.
+//     block_table argument of flash_attn_with_kvcache.  Optionally SHARDED
+//     for the engine's seq-mesh mode: the block table's slot columns are
+//     contiguously sharded over the "seq" mesh axis, so the page backing
+//     slot j must live in the pool shard of the chip owning that column —
+//     the allocator keeps one free list per shard and hands out SHARD-LOCAL
+//     ids, which makes total KV capacity scale with the seq axis instead of
+//     replicating the id space per chip.
 //   * Scheduler — continuous batching: FIFO admission under page budget and
 //     batch cap, per-step capacity reservation for running sequences, and
 //     LIFO preemption (youngest first) back to the waiting queue when the
@@ -32,23 +38,61 @@ namespace {
 
 struct PagedAllocator {
   int32_t page_size;
-  std::vector<int32_t> free_list;                       // stack of free page ids
+  int32_t num_shards;           // 1 = unsharded (classic behavior)
+  int32_t slots_per_shard;      // block-table slots owned by each shard
+  std::vector<std::vector<int32_t>> free_lists;  // per-shard stacks of local ids
+  // shard-LOCAL ids in slot order; slot j's shard is j / slots_per_shard
   std::unordered_map<int64_t, std::vector<int32_t>> seq_pages;
 
-  PagedAllocator(int32_t num_pages, int32_t ps) : page_size(ps) {
-    free_list.reserve(num_pages);
-    for (int32_t p = num_pages - 1; p >= 0; --p) free_list.push_back(p);
+  PagedAllocator(int32_t num_pages, int32_t ps, int32_t shards = 1,
+                 int32_t sps = INT32_MAX)
+      : page_size(ps), num_shards(shards), slots_per_shard(sps),
+        free_lists(shards) {
+    for (auto& fl : free_lists) {
+      fl.reserve(num_pages);
+      for (int32_t p = num_pages - 1; p >= 0; --p) fl.push_back(p);
+    }
   }
-  int32_t num_free() const { return (int32_t)free_list.size(); }
+
+  int32_t shard_of(int32_t slot) const {
+    int32_t s = slot / slots_per_shard;
+    return s < num_shards ? s : num_shards - 1;
+  }
+
+  int32_t num_free() const {
+    int32_t t = 0;
+    for (auto& fl : free_lists) t += (int32_t)fl.size();
+    return t;
+  }
+
+  int32_t held(int64_t seq) const {
+    auto it = seq_pages.find(seq);
+    return it == seq_pages.end() ? 0 : (int32_t)it->second.size();
+  }
+
+  // Can slots [held, held+n) all be covered by their owning shards' pools?
+  bool can_extend(int64_t seq, int32_t n) const {
+    int32_t base = held(seq);
+    // per-shard demand over the contiguous slot range
+    for (int32_t s = shard_of(base); s <= shard_of(base + n - 1); ++s) {
+      int32_t lo = s * slots_per_shard;
+      int32_t hi = lo + slots_per_shard;
+      if (base > lo) lo = base;
+      if (base + n < hi) hi = base + n;
+      if (hi > lo && (int32_t)free_lists[s].size() < hi - lo) return false;
+    }
+    return true;
+  }
 
   // Append n pages to seq's list. All-or-nothing. Returns n on success, 0 if
-  // the pool can't cover it.
+  // the pool (any owning shard) can't cover it.
   int32_t extend(int64_t seq, int32_t n, int32_t* out) {
-    if ((int32_t)free_list.size() < n) return 0;
+    if (!can_extend(seq, n)) return 0;
     auto& pages = seq_pages[seq];
     for (int32_t i = 0; i < n; ++i) {
-      int32_t p = free_list.back();
-      free_list.pop_back();
+      auto& fl = free_lists[shard_of((int32_t)pages.size())];
+      int32_t p = fl.back();
+      fl.pop_back();
       pages.push_back(p);
       if (out) out[i] = p;
     }
@@ -69,7 +113,8 @@ struct PagedAllocator {
   void release(int64_t seq) {
     auto it = seq_pages.find(seq);
     if (it == seq_pages.end()) return;
-    for (int32_t p : it->second) free_list.push_back(p);
+    for (size_t j = 0; j < it->second.size(); ++j)
+      free_lists[shard_of((int32_t)j)].push_back(it->second[j]);
     seq_pages.erase(it);
   }
 };
@@ -97,8 +142,10 @@ struct Scheduler {
   std::vector<int64_t> running;                // admission order (oldest first)
   std::unordered_map<int64_t, Request> reqs;
 
-  Scheduler(int32_t max_batch_, int32_t num_pages, int32_t page_size)
-      : alloc(num_pages, page_size), max_batch(max_batch_) {}
+  Scheduler(int32_t max_batch_, int32_t num_pages, int32_t page_size,
+            int32_t shards = 1, int32_t slots_per_shard = INT32_MAX)
+      : alloc(num_pages, page_size, shards, slots_per_shard),
+        max_batch(max_batch_) {}
 
   int32_t pages_for_len(int32_t len) const {
     return (len + alloc.page_size - 1) / alloc.page_size;
@@ -142,7 +189,7 @@ struct Scheduler {
       Request& r = reqs[running[i]];
       int32_t held = alloc.pages_of(r.id, nullptr, 0);
       int32_t need = pages_for_len(r.cur_len() + 1) - held;
-      while (need > 0 && alloc.num_free() < need &&
+      while (need > 0 && !alloc.can_extend(r.id, need) &&
              running.size() > i + 1) {
         preempt_youngest();
       }
@@ -164,7 +211,7 @@ struct Scheduler {
       int64_t id = waiting.front();
       Request& r = reqs[id];
       int32_t need = pages_for_len(r.cur_len() + 1);
-      if (alloc.num_free() < need) break;    // head-of-line: keep FIFO order
+      if (!alloc.can_extend(id, need)) break;  // head-of-line: keep FIFO order
       alloc.extend(id, need, nullptr);
       waiting.pop_front();
       r.state = State::RUNNING;
@@ -207,9 +254,19 @@ struct Scheduler {
 extern "C" {
 
 // ---- PagedAllocator C ABI ----
+// Sharded form: `num_pages` is PER SHARD; `slots_per_shard` maps block-table
+// slot columns to shards (contiguous).  The classic creators are shards=1.
+void* fa_alloc_create_sharded(int32_t num_pages, int32_t page_size,
+                              int32_t shards, int32_t slots_per_shard) {
+  if (num_pages <= 0 || page_size <= 0 || shards <= 0 || slots_per_shard <= 0)
+    return nullptr;
+  return new PagedAllocator(num_pages, page_size, shards, slots_per_shard);
+}
 void* fa_alloc_create(int32_t num_pages, int32_t page_size) {
-  if (num_pages <= 0 || page_size <= 0) return nullptr;
-  return new PagedAllocator(num_pages, page_size);
+  return fa_alloc_create_sharded(num_pages, page_size, 1, INT32_MAX);
+}
+int32_t fa_alloc_can_extend(void* a, int64_t seq, int32_t n) {
+  return ((PagedAllocator*)a)->can_extend(seq, n) ? 1 : 0;
 }
 void fa_alloc_destroy(void* a) { delete (PagedAllocator*)a; }
 int32_t fa_alloc_num_free(void* a) { return ((PagedAllocator*)a)->num_free(); }
@@ -222,9 +279,18 @@ int32_t fa_alloc_pages_of(void* a, int64_t seq, int32_t* out, int32_t cap) {
 void fa_alloc_release(void* a, int64_t seq) { ((PagedAllocator*)a)->release(seq); }
 
 // ---- Scheduler C ABI ----
+void* fa_sched_create_sharded(int32_t max_batch, int32_t num_pages,
+                              int32_t page_size, int32_t shards,
+                              int32_t slots_per_shard) {
+  if (max_batch <= 0 || num_pages <= 0 || page_size <= 0 || shards <= 0 ||
+      slots_per_shard <= 0)
+    return nullptr;
+  return new Scheduler(max_batch, num_pages, page_size, shards,
+                       slots_per_shard);
+}
 void* fa_sched_create(int32_t max_batch, int32_t num_pages, int32_t page_size) {
-  if (max_batch <= 0 || num_pages <= 0 || page_size <= 0) return nullptr;
-  return new Scheduler(max_batch, num_pages, page_size);
+  return fa_sched_create_sharded(max_batch, num_pages, page_size, 1,
+                                 INT32_MAX);
 }
 void fa_sched_destroy(void* s) { delete (Scheduler*)s; }
 int32_t fa_sched_add(void* s, int64_t id, int32_t prompt_len, int32_t max_new) {

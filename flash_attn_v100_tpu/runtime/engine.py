@@ -235,10 +235,6 @@ class ServingEngine:
         self.page_size = page_size
         self.max_batch = max_batch
         self.mesh = mesh
-        # one scratch page (id 0) backs inactive batch rows; the scheduler
-        # hands out pages 1..num_pages.
-        self.sched = Scheduler(max_batch, num_pages, page_size,
-                               use_native=use_native)
         self.max_pages_per_seq = cfg.max_seq_len // page_size
         kv_dtype = kv_dtype or cfg.dtype
         self.quantized = kv_dtype in (jnp.int8, jnp.float8_e4m3fn)
@@ -251,12 +247,18 @@ class ServingEngine:
             raise ValueError(
                 f"max_seq_len/page_size = {self.max_pages_per_seq} pages per "
                 f"sequence must divide the seq axis ({sp})")
-        # seq x model mesh: every chip along "seq" gets its own full page-id
-        # space (scheduler ids are globally unique, and each page's DATA
-        # lives only on the chip owning its block-table column), so the pool
-        # page dim is sp * (num_pages + 1), sharded contiguously on "seq" —
-        # per-chip memory equals the unsharded pool while each chip streams
-        # only 1/sp of every sequence's KV per decode step.
+        # one scratch page (local id 0) backs inactive batch rows; the
+        # scheduler hands out pages 1..num_pages.  seq x model mesh: the
+        # allocator is SHARDED — block-table slot columns are contiguously
+        # sharded on "seq", slot j allocates from the pool shard of the chip
+        # owning that column, and num_pages is PER SHARD — so per-chip memory
+        # is one (num_pages + 1)-page pool while total KV capacity is
+        # sp * num_pages pages, and each chip streams only 1/sp of every
+        # sequence's KV per decode step.
+        self.sched = Scheduler(max_batch, num_pages, page_size,
+                               use_native=use_native, num_shards=sp,
+                               slots_per_shard=self.max_pages_per_seq // sp
+                               if sp > 1 else 2**31 - 1)
         pool_shape = (cfg.n_layers, cfg.n_kv_heads, sp * (num_pages + 1),
                       page_size, cfg.head_dim)
         self.k_pool = jnp.zeros(pool_shape, kv_dtype)

@@ -25,6 +25,9 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
     i64p = ctypes.POINTER(ctypes.c_int64)
     sigs = {
         "fa_alloc_create": ([ctypes.c_int32, ctypes.c_int32], ctypes.c_void_p),
+        "fa_alloc_create_sharded": ([ctypes.c_int32] * 4, ctypes.c_void_p),
+        "fa_alloc_can_extend": ([ctypes.c_void_p, ctypes.c_int64,
+                                 ctypes.c_int32], ctypes.c_int32),
         "fa_alloc_destroy": ([ctypes.c_void_p], None),
         "fa_alloc_num_free": ([ctypes.c_void_p], ctypes.c_int32),
         "fa_alloc_extend": ([ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
@@ -34,6 +37,7 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
         "fa_alloc_release": ([ctypes.c_void_p, ctypes.c_int64], None),
         "fa_sched_create": ([ctypes.c_int32, ctypes.c_int32, ctypes.c_int32],
                             ctypes.c_void_p),
+        "fa_sched_create_sharded": ([ctypes.c_int32] * 5, ctypes.c_void_p),
         "fa_sched_destroy": ([ctypes.c_void_p], None),
         "fa_sched_add": ([ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
                           ctypes.c_int32], ctypes.c_int32),

@@ -43,7 +43,11 @@ class Scheduler:
     """See module docstring.  `step()` returns [(seq_id, needs_prefill)]."""
 
     def __init__(self, max_batch: int, num_pages: int, page_size: int,
-                 use_native: bool = True):
+                 use_native: bool = True, num_shards: int = 1,
+                 slots_per_shard: int = 2**31 - 1):
+        """`num_shards`/`slots_per_shard`: seq-mesh page-pool sharding —
+        `num_pages` becomes PER SHARD and block-table slot j allocates from
+        shard j // slots_per_shard (see allocator.PagedAllocator)."""
         if max_batch <= 0:
             raise ValueError("max_batch must be positive")
         self.max_batch = max_batch
@@ -51,10 +55,13 @@ class Scheduler:
         self.num_pages = num_pages
         self._lib = native.load() if use_native else None
         if self._lib is not None:
-            self._h = self._lib.fa_sched_create(max_batch, num_pages, page_size)
+            self._h = self._lib.fa_sched_create_sharded(
+                max_batch, num_pages, page_size, num_shards, slots_per_shard)
         else:
             from flash_attn_v100_tpu.runtime.allocator import PagedAllocator
-            self._alloc = PagedAllocator(num_pages, page_size, use_native=False)
+            self._alloc = PagedAllocator(num_pages, page_size, use_native=False,
+                                         num_shards=num_shards,
+                                         slots_per_shard=slots_per_shard)
             self._waiting: deque = deque()
             self._running: List[int] = []
             self._reqs: Dict[int, _Req] = {}
@@ -150,7 +157,7 @@ class Scheduler:
             r = self._reqs[self._running[i]]
             held = len(self._alloc.pages_of(r.id))
             need = self._pages_for(r.cur_len + 1) - held
-            while need > 0 and self._alloc.num_free() < need and \
+            while need > 0 and not self._alloc.can_extend(r.id, need) and \
                     len(self._running) > i + 1:
                 self._preempt_youngest()
             if need > 0 and not self._alloc.extend(r.id, need):
@@ -165,7 +172,7 @@ class Scheduler:
             sid = self._waiting[0]
             r = self._reqs[sid]
             need = self._pages_for(r.cur_len + 1)
-            if self._alloc.num_free() < need:
+            if not self._alloc.can_extend(sid, need):
                 break
             self._alloc.extend(sid, need)
             self._waiting.popleft()

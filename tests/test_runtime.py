@@ -38,6 +38,78 @@ def test_allocator_basics(use_native):
 
 
 @pytest.mark.parametrize("use_native", BACKENDS)
+def test_allocator_sharded_slot_mapping(use_native):
+    """Sharded pool (seq-mesh mode): slot j allocates from shard
+    j // slots_per_shard; ids are shard-local; capacity is per shard."""
+    a = PagedAllocator(3, 16, use_native=use_native,
+                       num_shards=2, slots_per_shard=2)
+    assert a.num_free() == 6
+    # seq 1 spans the shard boundary: slots 0,1 from shard 0, slot 2 shard 1
+    p = a.extend(1, 3)
+    assert len(p) == 3 and a.num_free() == 3
+    # shard-local ids may repeat ACROSS shards (each shard has its own space)
+    assert all(0 <= x < 3 for x in p)
+    # shard 0 has 1 page left: a fresh seq needing 2 slot-0/1 pages must fail
+    # even though 3 pages are free in total
+    assert not a.can_extend(2, 2)
+    assert a.extend(2, 2) == []
+    assert a.can_extend(2, 1)
+    # release returns pages to the shards that own their slots
+    a.release(1)
+    assert a.num_free() == 6
+    assert a.can_extend(2, 2)
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
+def test_scheduler_sharded_capacity_scales(use_native):
+    """With a sharded pool the same per-chip pool admits sp x the KV: one
+    8-page sequence fits in 2 shards of 4 pages (the unsharded 4-page pool
+    cannot hold it)."""
+    s0 = Scheduler(max_batch=1, num_pages=4, page_size=4,
+                   use_native=use_native)
+    assert s0.add(7, prompt_len=29, max_new_tokens=2)   # 30 tokens = 8 pages
+    assert s0.step() == []                              # never admitted
+    s = Scheduler(max_batch=1, num_pages=4, page_size=4,
+                  use_native=use_native, num_shards=2, slots_per_shard=4)
+    assert s.add(7, prompt_len=29, max_new_tokens=2)
+    batch = s.step()
+    assert batch == [(7, True)]
+    assert len(s.pages_of(7)) == 8
+    assert s.stats()["free_pages"] == 0
+    s.advance(7)
+    assert s.advance(7)                                 # budget hit
+    s.finish(7)
+    assert s.stats()["free_pages"] == 8
+
+
+def test_scheduler_sharded_native_python_equivalence():
+    """Randomized schedule through both backends with a sharded pool."""
+    if not native.available():
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(1)
+    mk = lambda un: Scheduler(max_batch=4, num_pages=6, page_size=4,
+                              use_native=un, num_shards=4, slots_per_shard=2)
+    sn, sp = mk(True), mk(False)
+    nid = 0
+    for it in range(80):
+        if rng.random() < 0.4 and nid < 24:
+            pl, mn = int(rng.integers(1, 24)), int(rng.integers(1, 8))
+            assert sn.add(nid, pl, mn) == sp.add(nid, pl, mn)
+            nid += 1
+        bn, bp = sn.step(), sp.step()
+        assert bn == bp, f"iter {it}: {bn} != {bp}"
+        for sid, _ in bn:
+            assert sn.pages_of(sid) == sp.pages_of(sid)
+            fn, fp = sn.advance(sid), sp.advance(sid)
+            assert fn == fp
+            if fn:
+                sn.finish(sid)
+                sp.finish(sid)
+        stn, stp = sn.stats(), sp.stats()
+        assert stn == stp, f"iter {it}: {stn} != {stp}"
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
 def test_scheduler_fifo_admission_and_batch_cap(use_native):
     s = Scheduler(max_batch=2, num_pages=64, page_size=16, use_native=use_native)
     assert s.is_native == use_native
@@ -302,6 +374,32 @@ def test_engine_seq_mesh_bf16_long_context():
     rid = eng.submit(prompt, max_new_tokens=14)
     out = eng.run_to_completion()
     assert out[rid] == ref, (out[rid], ref)
+
+
+def test_engine_seq_mesh_capacity_scales():
+    """seq-mesh engine with the sharded allocator: a sequence spanning 5
+    pages decodes correctly with only 2 pages PER SHARD (sp=4) — per-chip
+    memory that the unsharded engine could never serve — and a second
+    request runs through the same pool via continuous batching."""
+    from flash_attn_v100_tpu.models.transformer import param_shardings
+    from flash_attn_v100_tpu.parallel.mesh import make_mesh
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+
+    cfg, params = _make_model()  # max_seq_len 64, page_size 8 -> 8 slots
+    long_p = [int(x) % 60 for x in range(7, 27)]   # 20 + 14 = 34 tok, 5 pages
+    short_p = [3, 1, 4, 1, 5]                      # 5 + 4 = 9 tok, 2 pages
+    ref_long = _reference_generate(params, cfg, long_p, 14)
+    ref_short = _reference_generate(params, cfg, short_p, 4)
+
+    mesh = make_mesh(data=1, seq=4, model=1)
+    params_sp = jax.device_put(params, param_shardings(params, cfg, mesh))
+    eng = ServingEngine(params_sp, cfg, max_batch=2, num_pages=2,
+                        page_size=8, mesh=mesh)
+    rl = eng.submit(long_p, max_new_tokens=14)
+    rs = eng.submit(short_p, max_new_tokens=4)
+    out = eng.run_to_completion()
+    assert out[rl] == ref_long, (out[rl], ref_long)
+    assert out[rs] == ref_short, (out[rs], ref_short)
 
 
 def test_engine_per_request_sampling():
