@@ -17,6 +17,10 @@ TPU-first design decisions:
   * Prefill and decode share one model body (prefill: T=bucket,
     cache_seqlens=0; decode: T=1, cache_seqlens=cur_len); both run the paged
     kvcache attention with fused rotary, causal.
+  * seq x model meshes shard BOTH bandwidth and memory: heads on "model",
+    page pools on "seq" with a sharded allocator handing out shard-local
+    page ids per block-table slot range — per-chip HBM is one pool while
+    total KV capacity is seq_shards x num_pages.
   * The decode loop NEVER touches the device synchronously: sampling runs
     inside the single jitted step, emitted tokens stay device-resident
     (lazy (array, row) entries, fetched in one batched transfer when a
