@@ -118,6 +118,15 @@ def main():
               f"{gbps(bytes_int8, dtq):.0f} GB/s "
               f"({gbps(bytes_int8, dtq)/819*100:.0f}% roofline), "
               f"{dt/dtq:.2f}x bf16", file=sys.stderr)
+
+        k4, ks4 = quantize_kv(kpool, "int4")
+        v4, vs4 = quantize_kv(vpool, "int4")
+        dt4 = med3(fq, qd, k4, v4, ks4, vs4, n=NCH)
+        bytes_int4 = 2 * B * ctx * Hk * (D // 2 + 4)
+        print(f"decode_32k_int4: {B/dt4:.0f} tok/s/chip, "
+              f"{gbps(bytes_int4, dt4):.0f} GB/s "
+              f"({gbps(bytes_int4, dt4)/819*100:.0f}% roofline), "
+              f"{dt/dt4:.2f}x bf16", file=sys.stderr)
     except Exception as e:  # secondary metrics must not break the bench line
         print(f"secondary bench failed: {e}", file=sys.stderr)
 

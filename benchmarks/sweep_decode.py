@@ -60,7 +60,9 @@ def main():
     P_ = B * (ctx + ps) // ps
     kpool, vpool = mkb(Hk, P_, ps, D), mkb(Hk, P_, ps, D)
     table = jnp.arange(P_, dtype=jnp.int32).reshape(B, -1)
-    cs = jnp.asarray([ctx, ctx - 12345], jnp.int32)
+    # second row exercises a ragged (non-page-aligned) live length; keep it
+    # positive in --quick mode (ctx 8k)
+    cs = jnp.asarray([ctx, ctx - min(12345, ctx // 2 + 123)], jnp.int32)
     qd = mkb(B, 1, Hq, D)
     kn, vn = mkb(B, 1, Hk, D), mkb(B, 1, Hk, D)
     cos = mkb(ctx + ps, D // 2)
@@ -90,6 +92,20 @@ def main():
         kv_cache_layout="HND")[0])(qd, kq, vq, ks, vs, kn, vn)
     fails += not gate(f"paged+rotary+append {ctx//1024}k INT8", out8, o32,
                       onat, flat=0.1)
+    print(f"  ({time.time()-t0:.1f}s)", flush=True)
+
+    # packed-int4 pools (quarter bytes; per-token qmax-7 scales)
+    t0 = time.time()
+    kq4, ks4 = quantize_kv(kpool, "int4")
+    vq4, vs4 = quantize_kv(vpool, "int4")
+    out4 = jax.jit(lambda q, a, b, c, d, kn, vn: flash_attn_with_kvcache(
+        q, a, b, k=kn, v=vn, rotary_cos=cos, rotary_sin=sin, cache_seqlens=cs,
+        block_table=table, causal=True, k_scales=c, v_scales=d,
+        kv_cache_layout="HND")[0])(qd, kq4, vq4, ks4, vs4, kn, vn)
+    # gate = the 4-bit resolution bound (scale/2 = amax/14 per element),
+    # not the 0.1 int8 BASELINE gate — int4 is an extension beyond baseline
+    fails += not gate(f"paged+rotary+append {ctx//1024}k INT4", out4, o32,
+                      onat, flat=0.3)
     print(f"  ({time.time()-t0:.1f}s)", flush=True)
 
     # fp8 e4m3 pools (quarter... half bytes + finer dynamic range than int8)

@@ -80,7 +80,9 @@ def flash_attn_with_kvcache(
     """See module docstring.  `k_scales`/`v_scales` (same layout as the
     caches, head_dim axis collapsed to 1) mark the caches as INT8/FP8
     quantized; appended k/v are quantized on the fly and the kernel
-    dequantizes in-tile (ops/quant.py).  Returns updated scales inside the
+    dequantizes in-tile (ops/quant.py).  An int8 cache whose head_dim is
+    HALF of q's is treated as packed INT4 (quantize_kv(x, "int4") layout:
+    dims (d, d + D/2) share a byte).  Returns updated scales inside the
     cache tuple: (k_cache, v_cache, k_scales, v_scales)."""
     B, T_new, Hq, D_og = q.shape
     paged = block_table is not None
@@ -133,7 +135,12 @@ def flash_attn_with_kvcache(
         Bc, Hk, N, D = kc.shape
         page_size = _pick_page_size(N)
         N_capacity = N
-    assert D == D_og, "cache head dim must match q"
+    # packed-int4 cache: payload last dim is D/2 bytes (ops/quant.py layout)
+    int4 = quantized and kc.dtype == jnp.int8 and D * 2 == D_og
+    Dk = D                      # payload (streamed) head dim
+    if int4:
+        D = D_og
+    assert D == D_og, "cache head dim must match q (or D/2 packed int4)"
     group = Hq // Hk
 
     # ---- cache_seqlens normalization (reference: interface.py:355-358) ----
@@ -168,8 +175,9 @@ def flash_attn_with_kvcache(
     if appended and quantized:
         from flash_attn_v100_tpu.ops.quant import quantize_kv
         # quantize after rotary, per (token, head)
-        k_q, k_s = quantize_kv(k, kc.dtype)
-        v_q, v_s = quantize_kv(v, vc.dtype)
+        qdt = "int4" if int4 else kc.dtype
+        k_q, k_s = quantize_kv(k, qdt)
+        v_q, v_s = quantize_kv(v, qdt)
     scatter_mode = "drop" if append_window is not None else None
     if appended:
         pos = qlens[:, None] + jnp.arange(T_new, dtype=jnp.int32)  # (B,T)
@@ -239,8 +247,8 @@ def flash_attn_with_kvcache(
         C2 = P
     else:
         nb = N // page_size
-        pool_k = kc.reshape(Bc, Hk, nb, page_size, D)
-        pool_v = vc.reshape(Bc, Hk, nb, page_size, D)
+        pool_k = kc.reshape(Bc, Hk, nb, page_size, Dk)
+        pool_v = vc.reshape(Bc, Hk, nb, page_size, Dk)
         if quantized:
             pool_ks = ksc.reshape(Bc, Hk, nb, page_size, 1)
             pool_vs = vsc.reshape(Bc, Hk, nb, page_size, 1)
@@ -301,6 +309,7 @@ def flash_attn_with_kvcache(
         t_new=T_new, group=group, num_splits=num_splits,
         alibi_slopes_rows=slopes_rows,
         k_scales=pool_ks, v_scales=pool_vs, interpret=interpret,
+        int4=int4,
     )
     o, lse = merge_partials(o_part, lse_part)   # (B, Hk, Rq, D), (B, Hk, Rq, 1)
 

@@ -36,6 +36,11 @@ Design (TPU-first):
     dequant of the streamed tile); scales fold into the (rq, ps) score tile.
     The PV matmul dequantizes P's columns by V's scales and feeds the MXU in
     the compute dtype.  FP8 dequantizes at the tile boundary.
+  * INT4 cache: the pool stores two 4-bit values per byte along head_dim
+    (ops/quant.py layout: dims (d, d + D/2) share a byte), streaming HALF
+    the int8 bytes; the kernel unpacks with two shifts and a lane-axis
+    concatenate into int8 values (-8..7) and rides the same int8 MXU path —
+    the scales were computed with qmax=7 so nothing else changes.
 """
 
 from __future__ import annotations
@@ -72,6 +77,7 @@ def _decode_kernel(
     blocks_per_split: int,
     quantized: bool,
     int8_qk: bool,
+    int4: bool,
     unroll: int,
 ):
     has_alibi = params.has_alibi
@@ -114,7 +120,7 @@ def _decode_kernel(
             slopes_ref, j_start, lp, cs, qpos_ref[b],
             params=params, softmax_scale=softmax_scale, t_new=t_new,
             group=group, rq=rq, page_size=page_size,
-            quantized=quantized, int8_qk=int8_qk)
+            quantized=quantized, int8_qk=int8_qk, int4=int4)
 
     @pl.when(ki == blocks_per_split - 1)
     def _store():
@@ -126,18 +132,32 @@ def _decode_kernel(
         lse_ref[0, :, 0] = lse.astype(jnp.float32)
 
 
+def _unpack4(t):
+    """(…, D/2) packed-int4 bytes -> (…, D) int8 values in [-8, 7].
+
+    Low nibble holds dim d, high nibble dim d + D/2 (ops/quant.py pack_int4),
+    so the unpack is two shifts + a lane-axis concatenate — no interleave
+    relayout on the TPU lane axis."""
+    p = t.astype(jnp.int32)
+    lo = ((p << 28) >> 28).astype(jnp.int8)
+    hi = ((p << 24) >> 28).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
                         m_scr, l_scr, acc_scr, slopes_ref, j_start, lp, cs,
                         qpos_base,
                         *, params, softmax_scale, t_new, group, rq,
-                        page_size, quantized, int8_qk):
+                        page_size, quantized, int8_qk, int4):
     """Online-softmax update of (m, l, acc) scratch with one KV page."""
     has_alibi = params.has_alibi
 
     @pl.when(run)
     def _compute():
         q = q_ref[0]                   # (hb, rq, D)
-        k = k_ref[0, :, 0]             # (hb, ps, D)
+        k = k_ref[0, :, 0]             # (hb, ps, D)  [D/2 bytes when int4]
+        if int4:
+            k = _unpack4(k)
         if quantized and int8_qk:
             # int8 x int8 MXU path: quantize q rows in-register; k stays as
             # loaded.  S = (q8 k8^T) * q_scale_row * k_scale_col.
@@ -193,6 +213,8 @@ def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
         m_scr[...] = m_next
 
         v = v_ref[0, :, 0]                                    # (hb, ps, D)
+        if int4:
+            v = _unpack4(v)
         if quantized and int8_qk:
             # int8 x int8 PV: fold V's dequant scales into P's columns
             # ((hb, rq, ps) work), then quantize P per row — the streamed
@@ -220,7 +242,7 @@ def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
 
 
 def _pick_head_block(Hk: int, page_size: int, D: int, itemsize: int,
-                     rq: int) -> int:
+                     rq: int, d_kv: Optional[int] = None) -> int:
     """Heads folded per grid step: amortize fixed per-step cost while keeping
     the per-step VMEM working set within budget.  Counts the double-buffered
     K+V stream AND the Rq-dependent buffers (q tile, fp32 accumulator,
@@ -230,7 +252,9 @@ def _pick_head_block(Hk: int, page_size: int, D: int, itemsize: int,
     # fail to compile); budget half of it so the score tiles, relayouts and
     # the KV-unroll streams fit beside the accounted buffers.
     budget = 8 * 1024 * 1024
-    per_head = (2 * 2 * page_size * D * itemsize   # k+v, double-buffered
+    if d_kv is None:
+        d_kv = D                                   # int4 packs D/2 bytes
+    per_head = (2 * 2 * page_size * d_kv * itemsize  # k+v, double-buffered
                 + rq * D * 2                        # q tile (bf16)
                 + rq * D * 4                        # fp32 acc scratch
                 + 2 * 2 * rq * D * 4                # o_part + staging, f32 x2
@@ -275,6 +299,7 @@ def paged_decode_attention(
     interpret: Optional[bool] = None,
     int8_matmul: Optional[bool] = None,
     kv_unroll: Optional[int] = None,
+    int4: bool = False,   # caches hold packed-int4 bytes (last dim D/2)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Split-KV paged attention core.
 
@@ -282,18 +307,22 @@ def paged_decode_attention(
              lse_part (B, Hk, S, Rq, 1) fp32) — merge with `merge_partials`.
     """
     B, Hk, Rq, D = q_rows.shape
-    C1, _, C2, page_size, _ = k_pages.shape
+    C1, _, C2, page_size, Dk = k_pages.shape
     max_pages = block_table.shape[1]
     if interpret is None:
         interpret = use_interpret()
     quantized = k_scales is not None
+    if int4:
+        assert quantized and k_pages.dtype == jnp.int8 and Dk * 2 == D, (
+            "int4 caches are packed int8 with last dim D/2")
     int8_qk = quantized and k_pages.dtype == jnp.int8
     if int8_matmul is not None:
         int8_qk = int8_qk and int8_matmul
     if out_dtype is None:
         out_dtype = jnp.float32
 
-    hb = _pick_head_block(Hk, page_size, D, k_pages.dtype.itemsize, Rq)
+    hb = _pick_head_block(Hk, page_size, D, k_pages.dtype.itemsize, Rq,
+                          d_kv=Dk)
     nhb = Hk // hb
 
     S = num_splits
@@ -310,7 +339,7 @@ def paged_decode_attention(
     # ~1 MB of streamed KV per step.
     U = kv_unroll if kv_unroll else 1
     if kv_unroll is None:
-        per_page = 2 * hb * page_size * D * k_pages.dtype.itemsize
+        per_page = 2 * hb * page_size * Dk * k_pages.dtype.itemsize
         # cap at 4 streams: measured on v5e, U=8 at tiny (64-token) pages is
         # WORSE than U=2-4 (per-stream DMA bookkeeping overtakes the saved
         # fixed step cost)
@@ -351,12 +380,12 @@ def paged_decode_attention(
         vs_r = v_scales.reshape(v_scales.shape[:3] + (1, page_size))
     for u in range(U):
         km = kmap_u(u)
-        in_specs.append(pl.BlockSpec((1, hb, 1, page_size, D), km))
+        in_specs.append(pl.BlockSpec((1, hb, 1, page_size, Dk), km))
         inputs.append(k_pages)
         if quantized:
             in_specs.append(pl.BlockSpec((1, hb, 1, 1, page_size), km))
             inputs.append(ks_r)
-        in_specs.append(pl.BlockSpec((1, hb, 1, page_size, D), km))
+        in_specs.append(pl.BlockSpec((1, hb, 1, page_size, Dk), km))
         inputs.append(v_pages)
         if quantized:
             in_specs.append(pl.BlockSpec((1, hb, 1, 1, page_size), km))
@@ -386,7 +415,7 @@ def paged_decode_attention(
             _decode_kernel,
             params=params, softmax_scale=softmax_scale, t_new=t_new,
             group=group, rq=Rq, page_size=page_size, blocks_per_split=nbU,
-            quantized=quantized, int8_qk=int8_qk, unroll=U,
+            quantized=quantized, int8_qk=int8_qk, int4=int4, unroll=U,
         ),
         grid_spec=grid_spec,
         out_shape=(

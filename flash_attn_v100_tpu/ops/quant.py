@@ -1,9 +1,9 @@
-"""KV-cache quantization: INT8 and FP8(e4m3) payloads with per-token,
-per-head fp32 scales.
+"""KV-cache quantization: INT8, FP8(e4m3) and packed INT4 payloads with
+per-token, per-head fp32 scales.
 
 This is the BASELINE.json extension the reference does not have (its cache is
-fp16-only): quantized payloads halve (or quarter) the HBM bytes streamed per
-decoded token — decode attention is bandwidth-bound, so this translates
+fp16-only): quantized payloads halve / quarter / eighth the HBM bytes streamed
+per decoded token — decode attention is bandwidth-bound, so this translates
 directly to tokens/s.  Dequantization happens inside the decode kernel's VMEM
 tiles right before the QK^T / PV matmuls
 (flash_attn_v100_tpu/ops/pallas/decode.py), never materializing a
@@ -11,7 +11,17 @@ dequantized cache.
 
 Scale granularity: one fp32 scale per (token, kv-head) over the head_dim
 vector (finer than per-page, coarser than per-element) — empirically keeps
-max-abs-err vs the fp16 oracle well under the 0.1 BASELINE gate for int8.
+max-abs-err vs the fp16 oracle well under the 0.1 BASELINE gate for int8
+(~1e-3).  int4's resolution bounds per-element error at scale/2 = amax/14
+(~0.3 for unit-normal data): typical attention-averaged output error is
+~2e-2 but approaches the bound when the softmax concentrates — int4 is the
+capacity-over-accuracy point of the family, gated at 0.3 in tests.
+
+INT4 layout: two 4-bit two's-complement values packed per int8 byte along
+head_dim — byte d of a D/2-wide payload holds dim d in its low nibble and
+dim d + D/2 in its high nibble, so the kernel unpacks with two shifts and a
+lane-axis concatenate (no interleave relayout) and feeds the same int8 MXU
+path as the int8 cache.  `dtype="int4"` (or jnp.int4) selects it.
 """
 
 from __future__ import annotations
@@ -21,10 +31,17 @@ from typing import Tuple
 import jax.numpy as jnp
 
 INT8_MAX = 127.0
+INT4_MAX = 7.0
 FP8_E4M3_MAX = 448.0
 
 
+def is_int4(dtype) -> bool:
+    return dtype == "int4" or dtype is getattr(jnp, "int4", object())
+
+
 def _qmax(dtype) -> float:
+    if is_int4(dtype):
+        return INT4_MAX
     if dtype == jnp.int8:
         return INT8_MAX
     if dtype == jnp.float8_e4m3fn:
@@ -32,22 +49,49 @@ def _qmax(dtype) -> float:
     raise ValueError(f"unsupported quantized dtype {dtype}")
 
 
+def pack_int4(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """Pack two int arrays of 4-bit values (-8..7) into one int8 byte array."""
+    lo = lo.astype(jnp.int32) & 0xF
+    hi = hi.astype(jnp.int32) & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of pack_int4: (lo, hi) int8 arrays with sign-extended values."""
+    p = packed.astype(jnp.int32)
+    lo = ((p << 28) >> 28).astype(jnp.int8)
+    hi = ((p << 24) >> 28).astype(jnp.int8)
+    return lo, hi
+
+
 def quantize_kv(x: jnp.ndarray, dtype=jnp.int8) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Quantize over the last (head_dim) axis.
 
-    x: (..., D) float -> (payload (..., D) dtype, scales (..., 1) fp32).
+    x: (..., D) float -> (payload dtype, scales (..., 1) fp32).  Payload is
+    (..., D) for int8/fp8 and (..., D/2) packed int8 for dtype="int4"
+    (D must be even; see module docstring for the nibble layout).
     """
     qmax = _qmax(dtype)
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(amax / qmax, 1e-8)
     y = x.astype(jnp.float32) / scale
-    if dtype == jnp.int8:
+    if is_int4(dtype):
+        D = x.shape[-1]
+        if D % 2:
+            raise ValueError("int4 packing needs an even head_dim")
+        q4 = jnp.clip(jnp.round(y), -8, INT4_MAX).astype(jnp.int32)
+        q = pack_int4(q4[..., : D // 2], q4[..., D // 2:])
+    elif dtype == jnp.int8:
         q = jnp.clip(jnp.round(y), -INT8_MAX, INT8_MAX).astype(jnp.int8)
     else:
         q = y.astype(dtype)
     return q, scale.astype(jnp.float32)
 
 
-def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16):
+def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16,
+                  int4: bool = False):
     """Inverse of quantize_kv (test/debug; the kernel dequantizes in-tile)."""
+    if int4:
+        lo, hi = unpack_int4(q)
+        q = jnp.concatenate([lo, hi], axis=-1)
     return (q.astype(jnp.float32) * scale.astype(jnp.float32)).astype(dtype)

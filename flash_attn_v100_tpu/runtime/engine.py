@@ -226,8 +226,9 @@ class ServingEngine:
         """`mesh`: a jax.sharding.Mesh for tensor-parallel decode — KV heads
         and their page pools shard over the "model" axis; `params` must
         already be placed with `models.transformer.param_shardings`.
-        `kv_dtype`: jnp.int8 / jnp.float8_e4m3fn for a quantized page pool
-        (half/quarter HBM per token; appended KV quantizes on the fly).
+        `kv_dtype`: jnp.int8 / jnp.float8_e4m3fn / "int4" for a quantized
+        page pool (1/2 / 1/2 / 1/4 the HBM per token; appended KV quantizes
+        on the fly; "int4" packs two values per byte along head_dim).
         `eos_token_id`: stop sequences at this token; checked every
         `eos_check_interval` steps with one batched device fetch, so a
         sequence may run up to interval-1 tokens past its EOS before being
@@ -241,7 +242,10 @@ class ServingEngine:
         self.mesh = mesh
         self.max_pages_per_seq = cfg.max_seq_len // page_size
         kv_dtype = kv_dtype or cfg.dtype
-        self.quantized = kv_dtype in (jnp.int8, jnp.float8_e4m3fn)
+        from flash_attn_v100_tpu.ops.quant import is_int4
+        self.kv_int4 = is_int4(kv_dtype)
+        self.quantized = self.kv_int4 or kv_dtype in (jnp.int8,
+                                                      jnp.float8_e4m3fn)
         sp = 1
         if mesh is not None:
             from flash_attn_v100_tpu.parallel.mesh import SEQ_AXIS
@@ -263,10 +267,12 @@ class ServingEngine:
                                use_native=use_native, num_shards=sp,
                                slots_per_shard=self.max_pages_per_seq // sp
                                if sp > 1 else 2**31 - 1)
+        pool_d = cfg.head_dim // 2 if self.kv_int4 else cfg.head_dim
+        pool_dt = jnp.int8 if self.kv_int4 else kv_dtype
         pool_shape = (cfg.n_layers, cfg.n_kv_heads, sp * (num_pages + 1),
-                      page_size, cfg.head_dim)
-        self.k_pool = jnp.zeros(pool_shape, kv_dtype)
-        self.v_pool = jnp.zeros(pool_shape, kv_dtype)
+                      page_size, pool_d)
+        self.k_pool = jnp.zeros(pool_shape, pool_dt)
+        self.v_pool = jnp.zeros(pool_shape, pool_dt)
         self.k_scales = self.v_scales = None
         if self.quantized:
             self.k_scales = jnp.ones(pool_shape[:-1] + (1,), jnp.float32)

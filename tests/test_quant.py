@@ -28,7 +28,25 @@ def test_quantize_roundtrip(rng, qdtype):
     assert err < bound, (err, bound)
 
 
-@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn])
+def test_quantize_roundtrip_int4(rng):
+    x = mk(rng, 4, 64, 2, 64, dtype=jnp.float32)
+    q, s = quantize_kv(x, "int4")
+    # packed: two 4-bit values per int8 byte along head_dim
+    assert q.dtype == jnp.int8 and q.shape == (4, 64, 2, 32)
+    assert s.shape == (4, 64, 2, 1)
+    back = dequantize_kv(q, s, jnp.float32, int4=True)
+    err = max_abs_err(back, x)
+    bound = float(jnp.max(jnp.abs(x))) / 10   # qmax 7 -> rel err ~ amax/14
+    assert err < bound, (err, bound)
+    # nibble layout contract: byte d = dim d | dim d+D/2 << 4
+    from flash_attn_v100_tpu.ops.quant import unpack_int4
+    lo, hi = unpack_int4(q)
+    y = jnp.round(x / s).clip(-8, 7)
+    assert jnp.array_equal(lo.astype(jnp.int32), y[..., :32].astype(jnp.int32))
+    assert jnp.array_equal(hi.astype(jnp.int32), y[..., 32:].astype(jnp.int32))
+
+
+@pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn, "int4"])
 def test_quantized_decode(rng, qdtype):
     B, T, Hq, Hk, D, N = 2, 1, 4, 2, 64, 256
     q = mk(rng, B, T, Hq, D)
@@ -42,15 +60,22 @@ def test_quantized_decode(rng, qdtype):
                                 upcast=True)[0]
     assert_no_nan_inf(out)
     err = max_abs_err(out, ref)
-    assert err <= 0.1, f"{qdtype} decode err {err} > 0.1 BASELINE gate"
+    # int8/fp8: the 0.1 BASELINE gate.  int4 (extension): 4-bit resolution
+    # bounds per-element error at scale/2 = amax/14 (~0.3 for unit-normal
+    # data); attention-averaged output error approaches it when the softmax
+    # concentrates, so the gate is the resolution bound, not 0.1.
+    gate = 0.3 if qdtype == "int4" else 0.1
+    assert err <= gate, f"{qdtype} decode err {err} > {gate} gate"
 
 
-def test_quantized_decode_append(rng):
+@pytest.mark.parametrize("qdtype", [jnp.int8, "int4"])
+def test_quantized_decode_append(rng, qdtype):
+    int4 = qdtype == "int4"
     B, T, Hq, Hk, D, N = 2, 1, 2, 2, 64, 128
     q = mk(rng, B, T, Hq, D)
     kc_f, vc_f = mk(rng, B, N, Hk, D), mk(rng, B, N, Hk, D)
-    kq, ks = quantize_kv(kc_f, jnp.int8)
-    vq, vs = quantize_kv(vc_f, jnp.int8)
+    kq, ks = quantize_kv(kc_f, qdtype)
+    vq, vs = quantize_kv(vc_f, qdtype)
     kn, vn = mk(rng, B, T, Hk, D), mk(rng, B, T, Hk, D)
     cs = jnp.asarray([64, 100], jnp.int32)
     out, (kq2, vq2, ks2, vs2) = flash_attn_with_kvcache(
@@ -59,21 +84,23 @@ def test_quantized_decode_append(rng):
     ref = mha_reference_kvcache(q, kc_f, vc_f, k_new=kn, v_new=vn,
                                 cache_seqlens=cs, causal=True, upcast=True)[0]
     err = max_abs_err(out, ref)
-    assert err <= 0.1, err
+    assert err <= (0.3 if int4 else 0.1), err   # int4: resolution bound
     # appended rows must round-trip through quantization
     for b in range(B):
-        row = dequantize_kv(kq2[b, int(cs[b])], ks2[b, int(cs[b])], jnp.float32)
+        row = dequantize_kv(kq2[b, int(cs[b])], ks2[b, int(cs[b])],
+                            jnp.float32, int4=int4)
         err_row = max_abs_err(row, kn[b, 0])
-        assert err_row < 0.1, err_row
+        assert err_row < (0.3 if int4 else 0.1), err_row
 
 
-def test_quantized_paged_decode(rng):
+@pytest.mark.parametrize("qdtype", [jnp.int8, "int4"])
+def test_quantized_paged_decode(rng, qdtype):
     B, T, Hq, Hk, D = 2, 1, 2, 2, 64
     ps, P = 64, 8
     q = mk(rng, B, T, Hq, D)
     pool_f_k, pool_f_v = mk(rng, P, ps, Hk, D), mk(rng, P, ps, Hk, D)
-    kq, ks = quantize_kv(pool_f_k, jnp.int8)
-    vq, vs = quantize_kv(pool_f_v, jnp.int8)
+    kq, ks = quantize_kv(pool_f_k, qdtype)
+    vq, vs = quantize_kv(pool_f_v, qdtype)
     table = jnp.asarray([[3, 0, 5], [1, 7, 2]], jnp.int32)
     cs = jnp.asarray([150, 90], jnp.int32)
     out = flash_attn_with_kvcache(q, kq, vq, cache_seqlens=cs,
@@ -90,7 +117,7 @@ def test_quantized_paged_decode(rng):
                                 jnp.asarray(vmat, q.dtype),
                                 cache_seqlens=cs, causal=True, upcast=True)[0]
     err = max_abs_err(out, ref)
-    assert err <= 0.1, err
+    assert err <= (0.3 if qdtype == "int4" else 0.1), err
 
 
 def test_quant_errors(rng):

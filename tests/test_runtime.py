@@ -309,6 +309,60 @@ def test_engine_int8_kv_pool():
     assert agree >= total - 2, (out, ref)
 
 
+def _direct_paged_generate(params, cfg, prompt, n_new, num_pages, page_size,
+                           kv_dtype):
+    """Greedy decode through paged_forward with engine-identical shapes
+    (max_batch=1, bucketed prefill, full block table) — the deterministic
+    reference for quantized engines, where comparing against the
+    FP reference is invalid (int4 logit noise ~0.15 exceeds a tiny random
+    model's top-2 logit gap, so greedy argmax flips are expected)."""
+    from flash_attn_v100_tpu.ops.quant import is_int4
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine, paged_forward
+
+    d = cfg.head_dim // 2 if is_int4(kv_dtype) else cfg.head_dim
+    dt = jnp.int8 if is_int4(kv_dtype) else kv_dtype
+    pool_shape = (cfg.n_layers, cfg.n_kv_heads, num_pages + 1, page_size, d)
+    kp, vp = jnp.zeros(pool_shape, dt), jnp.zeros(pool_shape, dt)
+    ks = vs = jnp.ones(pool_shape[:-1] + (1,), jnp.float32)
+    mp = cfg.max_seq_len // page_size
+    bt = jnp.arange(1, mp + 1, dtype=jnp.int32)[None]
+
+    T = ServingEngine._bucket(len(prompt))
+    toks = jnp.zeros((1, T), jnp.int32).at[0, :len(prompt)].set(
+        jnp.asarray(prompt, jnp.int32))
+    logits, kp, vp, ks, vs = paged_forward(
+        params, kp, vp, toks, jnp.zeros((1,), jnp.int32), bt, cfg=cfg,
+        k_scales=ks, v_scales=vs)
+    out = [int(jnp.argmax(logits[0, len(prompt) - 1]))]
+    for i in range(n_new - 1):
+        cs = jnp.asarray([len(prompt) + i], jnp.int32)
+        logits, kp, vp, ks, vs = paged_forward(
+            params, kp, vp, jnp.asarray([[out[-1]]], jnp.int32), cs, bt,
+            cfg=cfg, k_scales=ks, v_scales=vs)
+        out.append(int(jnp.argmax(logits[0, 0])))
+    return out
+
+
+def test_engine_int4_kv_pool():
+    """Packed-int4 page pool (quarter-HBM KV): the engine's bookkeeping
+    (paging, append positions, steady-state caching) must reproduce a direct
+    paged_forward decode loop EXACTLY — same kernel, same quantization
+    sequence, same shapes."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    prompts = [[3, 1, 4, 1, 5, 9], [2, 7, 1]]
+    for prompt in prompts:
+        ref = _direct_paged_generate(params, cfg, prompt, 6, num_pages=16,
+                                     page_size=8, kv_dtype="int4")
+        eng = ServingEngine(params, cfg, max_batch=1, num_pages=16,
+                            page_size=8, kv_dtype="int4")
+        assert eng.quantized and eng.kv_int4
+        assert eng.k_pool.shape[-1] == cfg.head_dim // 2
+        rid = eng.submit(prompt, max_new_tokens=6)
+        out = eng.run_to_completion()
+        assert out[rid] == ref, (out[rid], ref)
+
+
 def test_engine_eos_reaping():
     """EOS stops a sequence (checked in periodic batched sweeps); output is
     truncated exactly at the EOS token."""
