@@ -37,10 +37,13 @@ Design (TPU-first):
     The PV matmul dequantizes P's columns by V's scales and feeds the MXU in
     the compute dtype.  FP8 dequantizes at the tile boundary.
   * INT4 cache: the pool stores two 4-bit values per byte along head_dim
-    (ops/quant.py layout: dims (d, d + D/2) share a byte), streaming HALF
-    the int8 bytes; the kernel unpacks with two shifts and a lane-axis
-    concatenate into int8 values (-8..7) and rides the same int8 MXU path —
-    the scales were computed with qmax=7 so nothing else changes.
+    (ops/quant.py layout: dims (d, d + D/2) share a byte; low nibble biased
+    +8), streaming HALF the int8 bytes.  The kernel never materializes an
+    unpack: Mosaic legalizes only bitwise AND on i8 vectors (not shifts),
+    so each matmul splits into nibble halves — byte & 15 (= lo + 8) and
+    byte & -16 (= 16 * hi) feed two D/2-deep int8 MXU calls, with the +8
+    bias folded out as a per-row linear term and the 16x as a (1/16) on the
+    small score/output tiles.  Cost over int8: two ANDs per streamed byte.
 """
 
 from __future__ import annotations
@@ -135,11 +138,12 @@ def _decode_kernel(
 def _unpack4(t):
     """(…, D/2) packed-int4 bytes -> (…, D) int8 values in [-8, 7].
 
-    Low nibble holds dim d, high nibble dim d + D/2 (ops/quant.py pack_int4),
-    so the unpack is two shifts + a lane-axis concatenate — no interleave
-    relayout on the TPU lane axis."""
+    Float-path fallback only (the int8-MXU path never materializes the
+    unpack — see the int4 branches below).  Layout: ops/quant.py pack_int4
+    — low nibble = dim d BIASED +8, high nibble = dim d + D/2 two's
+    complement."""
     p = t.astype(jnp.int32)
-    lo = ((p << 28) >> 28).astype(jnp.int8)
+    lo = ((p & 0xF) - 8).astype(jnp.int8)
     hi = ((p << 24) >> 28).astype(jnp.int8)
     return jnp.concatenate([lo, hi], axis=-1)
 
@@ -156,7 +160,7 @@ def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
     def _compute():
         q = q_ref[0]                   # (hb, rq, D)
         k = k_ref[0, :, 0]             # (hb, ps, D)  [D/2 bytes when int4]
-        if int4:
+        if int4 and not int8_qk:
             k = _unpack4(k)
         if quantized and int8_qk:
             # int8 x int8 MXU path: quantize q rows in-register; k stays as
@@ -165,9 +169,30 @@ def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
             q_amax = jnp.max(jnp.abs(q32), axis=2, keepdims=True)  # (hb, rq, 1)
             q_scale = jnp.where(q_amax == 0.0, 1.0, q_amax / 127.0)
             q8 = jnp.round(q32 / q_scale).astype(jnp.int8)
-            st = jax.lax.dot_general(
-                q8, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
+            if int4:
+                # Unpack-free int4 via the two AND ops Mosaic legalizes on
+                # i8 vectors (shifts/mul/sub do not lower): byte & 15 is the
+                # BIASED low nibble lo+8 and byte & -16 is 16*hi exactly
+                # (quant.py pack layout).  Split the matmul into the nibble
+                # halves — two D/2-deep int8 MXU calls — and fold the +8
+                # bias out as a per-row linear term (sum_d q_d * 8, one
+                # small reduction) and the 16x as a 1/16 on the score tile.
+                # No materialized (ps, D) unpack, no lane-axis concatenate.
+                D2 = q8.shape[2] // 2
+                q_lo, q_hi = q8[:, :, :D2], q8[:, :, D2:]
+                st = jax.lax.dot_general(
+                    q_lo, k & jnp.int8(15), (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                st = st - 8.0 * jnp.sum(q_lo.astype(jnp.float32), axis=2,
+                                        keepdims=True)
+                st = st + jax.lax.dot_general(
+                    q_hi, k & jnp.int8(-16), (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32).astype(
+                        jnp.float32) * (1.0 / 16.0)
+            else:
+                st = jax.lax.dot_general(
+                    q8, k, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
             st = st * q_scale                                      # (hb, rq, ps)
             st = st * ks_ref[0, :, 0].astype(jnp.float32)          # (hb, 1, ps)
         else:
@@ -213,7 +238,7 @@ def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
         m_scr[...] = m_next
 
         v = v_ref[0, :, 0]                                    # (hb, ps, D)
-        if int4:
+        if int4 and not int8_qk:
             v = _unpack4(v)
         if quantized and int8_qk:
             # int8 x int8 PV: fold V's dequant scales into P's columns
@@ -224,9 +249,24 @@ def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
             p_amax = jnp.max(jnp.abs(p), axis=2, keepdims=True)
             p_scale = jnp.where(p_amax == 0.0, 1.0, p_amax / 127.0)
             p8 = jnp.round(p / p_scale).astype(jnp.int8)
-            pv = jax.lax.dot_general(
-                p8, v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
+            if int4:
+                # nibble-split PV: same AND identities as QK; the bias term
+                # is sum_p p8_p * 8 per row (constant over the lo output
+                # columns) and the halves glue on the SMALL (hb, rq, D) f32
+                # tile instead of the streamed V tile
+                pv_lo = jax.lax.dot_general(
+                    p8, v & jnp.int8(15), (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                pv_lo = pv_lo - 8.0 * jnp.sum(p8.astype(jnp.float32), axis=2,
+                                              keepdims=True)
+                pv_hi = jax.lax.dot_general(
+                    p8, v & jnp.int8(-16), (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                pv = jnp.concatenate([pv_lo, pv_hi * (1.0 / 16.0)], axis=-1)
+            else:
+                pv = jax.lax.dot_general(
+                    p8, v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
             pv = pv * p_scale
         else:
             if quantized:

@@ -17,11 +17,15 @@ max-abs-err vs the fp16 oracle well under the 0.1 BASELINE gate for int8
 ~2e-2 but approaches the bound when the softmax concentrates — int4 is the
 capacity-over-accuracy point of the family, gated at 0.3 in tests.
 
-INT4 layout: two 4-bit two's-complement values packed per int8 byte along
-head_dim — byte d of a D/2-wide payload holds dim d in its low nibble and
-dim d + D/2 in its high nibble, so the kernel unpacks with two shifts and a
-lane-axis concatenate (no interleave relayout) and feeds the same int8 MXU
-path as the int8 cache.  `dtype="int4"` (or jnp.int4) selects it.
+INT4 layout: two 4-bit values packed per int8 byte along head_dim — byte d
+of a D/2-wide payload holds dim d in its low nibble and dim d + D/2 in its
+high nibble.  The high nibble is two's complement; the LOW nibble is stored
+BIASED by +8 (value + 8 in [0, 15]).  Rationale: Mosaic legalizes bitwise
+AND on int8 vectors but not shifts/mul/sub, so the decode kernel recovers
+both halves with two AND ops — `byte & 15` = lo + 8 and `byte & -16` =
+16 * hi exactly — and folds the +8 bias and the 16x scale out as LINEAR
+corrections after the int8 MXU matmuls (a per-row term and a 1/16 multiply
+on the small score tile).  `dtype="int4"` (or jnp.int4) selects it.
 """
 
 from __future__ import annotations
@@ -50,16 +54,18 @@ def _qmax(dtype) -> float:
 
 
 def pack_int4(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
-    """Pack two int arrays of 4-bit values (-8..7) into one int8 byte array."""
-    lo = lo.astype(jnp.int32) & 0xF
+    """Pack two int arrays of 4-bit values (-8..7) into one int8 byte array.
+    Low nibble stores lo + 8 (biased, [0, 15]); high nibble stores hi in
+    two's complement — see the module docstring for why."""
+    lo = (lo.astype(jnp.int32) + 8) & 0xF
     hi = hi.astype(jnp.int32) & 0xF
     return (lo | (hi << 4)).astype(jnp.int8)
 
 
 def unpack_int4(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Inverse of pack_int4: (lo, hi) int8 arrays with sign-extended values."""
+    """Inverse of pack_int4: (lo, hi) int8 arrays with the bias removed."""
     p = packed.astype(jnp.int32)
-    lo = ((p << 28) >> 28).astype(jnp.int8)
+    lo = ((p & 0xF) - 8).astype(jnp.int8)
     hi = ((p << 24) >> 28).astype(jnp.int8)
     return lo, hi
 
