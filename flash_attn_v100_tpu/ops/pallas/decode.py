@@ -153,56 +153,99 @@ def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
                         qpos_base,
                         *, params, softmax_scale, t_new, group, rq,
                         page_size, quantized, int8_qk, int4):
-    """Online-softmax update of (m, l, acc) scratch with one KV page."""
+    """Online-softmax update of (m, l, acc) scratch with one KV page.
+
+    Two runtime-selected variants: interior pages — fully inside the live
+    causal/window extent for EVERY q row — skip the whole mask pipeline
+    (iotas, 5 compares, 2 wheres on the (hb, rq, ps) tile).  This matters
+    because decode at <= ~128 streamed bytes/token is VPU-bound on exactly
+    that tile, not HBM-bound (measured v5e: int8 D=64 runs the same tok/s
+    as D=128 at half the bytes), so every interior-page VPU op is critical
+    path.  Only the boundary page (and leftpad/window edges) takes the
+    masked path.  Padded q rows (r >= group*t_new) contribute only to their
+    own output rows, which the wrapper slices away."""
     has_alibi = params.has_alibi
 
-    @pl.when(run)
-    def _compute():
-        q = q_ref[0]                   # (hb, rq, D)
-        k = k_ref[0, :, 0]             # (hb, ps, D)  [D/2 bytes when int4]
-        if int4 and not int8_qk:
-            k = _unpack4(k)
-        if quantized and int8_qk:
-            # int8 x int8 MXU path: quantize q rows in-register; k stays as
-            # loaded.  S = (q8 k8^T) * q_scale_row * k_scale_col.
-            q32 = q.astype(jnp.float32)
-            q_amax = jnp.max(jnp.abs(q32), axis=2, keepdims=True)  # (hb, rq, 1)
-            q_scale = jnp.where(q_amax == 0.0, 1.0, q_amax / 127.0)
-            q8 = jnp.round(q32 / q_scale).astype(jnp.int8)
-            if int4:
-                # Unpack-free int4 via the two AND ops Mosaic legalizes on
-                # i8 vectors (shifts/mul/sub do not lower): byte & 15 is the
-                # BIASED low nibble lo+8 and byte & -16 is 16*hi exactly
-                # (quant.py pack layout).  Split the matmul into the nibble
-                # halves — two D/2-deep int8 MXU calls — and fold the +8
-                # bias out as a per-row linear term (sum_d q_d * 8, one
-                # small reduction) and the 16x as a 1/16 on the score tile.
-                # No materialized (ps, D) unpack, no lane-axis concatenate.
-                D2 = q8.shape[2] // 2
-                q_lo, q_hi = q8[:, :, :D2], q8[:, :, D2:]
-                st = jax.lax.dot_general(
-                    q_lo, k & jnp.int8(15), (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32).astype(jnp.float32)
-                st = st - 8.0 * jnp.sum(q_lo.astype(jnp.float32), axis=2,
-                                        keepdims=True)
-                st = st + jax.lax.dot_general(
-                    q_hi, k & jnp.int8(-16), (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32).astype(
-                        jnp.float32) * (1.0 / 16.0)
-            else:
-                st = jax.lax.dot_general(
-                    q8, k, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32).astype(jnp.float32)
-            st = st * q_scale                                      # (hb, rq, ps)
-            st = st * ks_ref[0, :, 0].astype(jnp.float32)          # (hb, 1, ps)
-        else:
-            if quantized:
-                k = k.astype(q.dtype)
-            st = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                     preferred_element_type=jnp.float32)
-            if quantized:
-                st = st * ks_ref[0, :, 0].astype(jnp.float32)
+    # page fully live for every row: no bounds, causal, or window mask can
+    # cut any (row, column) of this tile
+    fully_valid = (j_start >= lp) & (j_start + page_size <= lp + cs)
+    jl_max = j_start + page_size - 1 - lp
+    if params.causal:
+        fully_valid &= jl_max <= qpos_base            # qpos_base = min qpos
+    if params.window_left >= 0:
+        fully_valid &= (j_start - lp
+                        >= qpos_base + t_new - 1 - params.window_left)
+    if params.window_right >= 0:
+        fully_valid &= jl_max <= qpos_base + params.window_right
+    def _variant(pred, masked):
+        @pl.when(pred)
+        def _():
+            _decode_tile_update(
+                q_ref, k_ref, ks_ref, v_ref, vs_ref, m_scr, l_scr, acc_scr,
+                slopes_ref, j_start, lp, cs, qpos_base, masked=masked,
+                params=params, softmax_scale=softmax_scale, t_new=t_new,
+                group=group, rq=rq, page_size=page_size, quantized=quantized,
+                int8_qk=int8_qk, int4=int4)
 
+    if has_alibi:                  # alibi needs per-position work anyway
+        _variant(run, True)
+    else:
+        _variant(run & fully_valid, False)
+        _variant(run & jnp.logical_not(fully_valid), True)
+
+
+def _decode_tile_update(q_ref, k_ref, ks_ref, v_ref, vs_ref,
+                        m_scr, l_scr, acc_scr, slopes_ref, j_start, lp, cs,
+                        qpos_base, *, masked, params, softmax_scale, t_new,
+                        group, rq, page_size, quantized, int8_qk, int4):
+    has_alibi = params.has_alibi
+    q = q_ref[0]                   # (hb, rq, D)
+    k = k_ref[0, :, 0]             # (hb, ps, D)  [D/2 bytes when int4]
+    if int4 and not int8_qk:
+        k = _unpack4(k)
+    if quantized and int8_qk:
+        # int8 x int8 MXU path: quantize q rows in-register; k stays as
+        # loaded.  S = (q8 k8^T) * q_scale_row * k_scale_col.
+        q32 = q.astype(jnp.float32)
+        q_amax = jnp.max(jnp.abs(q32), axis=2, keepdims=True)  # (hb, rq, 1)
+        q_scale = jnp.where(q_amax == 0.0, 1.0, q_amax / 127.0)
+        q8 = jnp.round(q32 / q_scale).astype(jnp.int8)
+        if int4:
+            # Unpack-free int4 via the two AND ops Mosaic legalizes on
+            # i8 vectors (shifts/mul/sub do not lower): byte & 15 is the
+            # BIASED low nibble lo+8 and byte & -16 is 16*hi exactly
+            # (quant.py pack layout).  Split the matmul into the nibble
+            # halves — two D/2-deep int8 MXU calls — and fold the +8
+            # bias out as a per-row linear term (sum_d q_d * 8, one
+            # small reduction) and the 16x as a 1/16 on the score tile.
+            # No materialized (ps, D) unpack, no lane-axis concatenate.
+            D2 = q8.shape[2] // 2
+            q_lo, q_hi = q8[:, :, :D2], q8[:, :, D2:]
+            st = jax.lax.dot_general(
+                q_lo, k & jnp.int8(15), (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            st = st - 8.0 * jnp.sum(q_lo.astype(jnp.float32), axis=2,
+                                    keepdims=True)
+            st = st + jax.lax.dot_general(
+                q_hi, k & jnp.int8(-16), (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32).astype(
+                    jnp.float32) * (1.0 / 16.0)
+        else:
+            st = jax.lax.dot_general(
+                q8, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        st = st * q_scale                                      # (hb, rq, ps)
+        st = st * ks_ref[0, :, 0].astype(jnp.float32)          # (hb, 1, ps)
+    else:
+        if quantized:
+            k = k.astype(q.dtype)
+        st = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        if quantized:
+            st = st * ks_ref[0, :, 0].astype(jnp.float32)
+
+    st = st * softmax_scale
+    if masked:
         # logical kv position of each column (0 = first live cache row)
         jl = (jax.lax.broadcasted_iota(jnp.int32, (1, rq, page_size), 2)
               + j_start - lp)
@@ -210,14 +253,12 @@ def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
         r = jax.lax.broadcasted_iota(jnp.int32, (1, rq, page_size), 1)
         t = r % t_new if t_new > 1 else jnp.zeros_like(r)
         qpos = qpos_base + t
-
-        st = st * softmax_scale
         if has_alibi:
             slope = slopes_ref[0]      # (hb, rq, 1)
             st = st - slope * jnp.abs(qpos - jl).astype(jnp.float32)
-        if params.softcap > 0.0:
-            st = params.softcap * jnp.tanh(st * (1.0 / params.softcap))
-
+    if params.softcap > 0.0:
+        st = params.softcap * jnp.tanh(st * (1.0 / params.softcap))
+    if masked:
         valid = (jl >= 0) & (jl < cs) & (r < group * t_new)
         if params.causal:
             valid &= jl <= qpos
@@ -227,58 +268,59 @@ def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
             valid &= jl <= qpos + params.window_right
         st = jnp.where(valid, st, NEG_INF)
 
-        m_prev = m_scr[...]                                   # (hb, rq, L)
-        l_prev = l_scr[...]
-        m_cur = jnp.max(st, axis=2, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(jnp.maximum(st - m_next[:, :, :1], EXP_CLAMP))
+    m_prev = m_scr[...]                                   # (hb, rq, L)
+    l_prev = l_scr[...]
+    m_cur = jnp.max(st, axis=2, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(jnp.maximum(st - m_next[:, :, :1], EXP_CLAMP))
+    if masked:
         p = jnp.where(valid, p, 0.0)
-        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
-        m_scr[...] = m_next
+    l_scr[...] = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+    m_scr[...] = m_next
 
-        v = v_ref[0, :, 0]                                    # (hb, ps, D)
-        if int4 and not int8_qk:
-            v = _unpack4(v)
-        if quantized and int8_qk:
-            # int8 x int8 PV: fold V's dequant scales into P's columns
-            # ((hb, rq, ps) work), then quantize P per row — the streamed
-            # (hb, ps, D) V tile is never converted, which on v5e is the
-            # difference between compute-bound and DMA-bound int8 decode
-            p = p * vs_ref[0, :, 0].astype(jnp.float32)
-            p_amax = jnp.max(jnp.abs(p), axis=2, keepdims=True)
-            p_scale = jnp.where(p_amax == 0.0, 1.0, p_amax / 127.0)
-            p8 = jnp.round(p / p_scale).astype(jnp.int8)
-            if int4:
-                # nibble-split PV: same AND identities as QK; the bias term
-                # is sum_p p8_p * 8 per row (constant over the lo output
-                # columns) and the halves glue on the SMALL (hb, rq, D) f32
-                # tile instead of the streamed V tile
-                pv_lo = jax.lax.dot_general(
-                    p8, v & jnp.int8(15), (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32).astype(jnp.float32)
-                pv_lo = pv_lo - 8.0 * jnp.sum(p8.astype(jnp.float32), axis=2,
-                                              keepdims=True)
-                pv_hi = jax.lax.dot_general(
-                    p8, v & jnp.int8(-16), (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32).astype(jnp.float32)
-                pv = jnp.concatenate([pv_lo, pv_hi * (1.0 / 16.0)], axis=-1)
-            else:
-                pv = jax.lax.dot_general(
-                    p8, v, (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32).astype(jnp.float32)
-            pv = pv * p_scale
+    v = v_ref[0, :, 0]                                    # (hb, ps, D)
+    if int4 and not int8_qk:
+        v = _unpack4(v)
+    if quantized and int8_qk:
+        # int8 x int8 PV: fold V's dequant scales into P's columns
+        # ((hb, rq, ps) work), then quantize P per row — the streamed
+        # (hb, ps, D) V tile is never converted, which on v5e is the
+        # difference between compute-bound and DMA-bound int8 decode
+        p = p * vs_ref[0, :, 0].astype(jnp.float32)
+        p_amax = jnp.max(jnp.abs(p), axis=2, keepdims=True)
+        p_scale = jnp.where(p_amax == 0.0, 1.0, p_amax / 127.0)
+        p8 = jnp.round(p / p_scale).astype(jnp.int8)
+        if int4:
+            # nibble-split PV: same AND identities as QK; the bias term
+            # is sum_p p8_p * 8 per row (constant over the lo output
+            # columns) and the halves glue on the SMALL (hb, rq, D) f32
+            # tile instead of the streamed V tile
+            pv_lo = jax.lax.dot_general(
+                p8, v & jnp.int8(15), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            pv_lo = pv_lo - 8.0 * jnp.sum(p8.astype(jnp.float32), axis=2,
+                                          keepdims=True)
+            pv_hi = jax.lax.dot_general(
+                p8, v & jnp.int8(-16), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            pv = jnp.concatenate([pv_lo, pv_hi * (1.0 / 16.0)], axis=-1)
         else:
-            if quantized:
-                # fp8 path: fold scales into P, dequantize V at the tile
-                p = p * vs_ref[0, :, 0].astype(jnp.float32)
-                v = v.astype(jnp.bfloat16)
-                p = p.astype(jnp.bfloat16)
-            else:
-                p = p.astype(v.dtype)
-            pv = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
-                                     preferred_element_type=jnp.float32)
-        acc_scr[...] = acc_scr[...] * alpha[:, :, :1] + pv
+            pv = jax.lax.dot_general(
+                p8, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        pv = pv * p_scale
+    else:
+        if quantized:
+            # fp8 path: fold scales into P, dequantize V at the tile
+            p = p * vs_ref[0, :, 0].astype(jnp.float32)
+            v = v.astype(jnp.bfloat16)
+            p = p.astype(jnp.bfloat16)
+        else:
+            p = p.astype(v.dtype)
+        pv = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    acc_scr[...] = acc_scr[...] * alpha[:, :, :1] + pv
 
 
 def _pick_head_block(Hk: int, page_size: int, D: int, itemsize: int,

@@ -265,3 +265,40 @@ def test_pick_head_block_vmem_boundary():
     # prefill-sized Rq with a huge page cannot fit even one head
     with pytest.raises(ValueError, match="scoped VMEM"):
         _pick_head_block(8, 8192, 256, 2, 4096)
+
+
+@pytest.mark.parametrize("delta", [-1, 0, 1])
+@pytest.mark.parametrize("leftpad", [False, True])
+def test_decode_page_boundary_fastpath(rng, delta, leftpad):
+    """Pin the interior-page fast path vs masked boundary path split
+    (ops/pallas/decode.py _decode_page_update): cache_seqlens exactly at,
+    one below, and one above a page boundary, with and without leftpad,
+    must all match the oracle — the fully_valid predicate must never admit
+    a page any row's causal/bounds mask would cut."""
+    B, T, Hq, Hk, D, N = 2, 1, 4, 2, 64, 512   # page_size = 512 -> 2 pages? no: _pick_page_size(512)=512
+    N = 1024                                    # 2 pages of 512
+    q = mk(rng, B, T, Hq, D)
+    kc, vc = mk(rng, B, N, Hk, D), mk(rng, B, N, Hk, D)
+    lp = jnp.asarray([16, 3], jnp.int32) if leftpad else None
+    base = 512 - (np.asarray(lp) if leftpad else 0)  # fill page 0 exactly
+    cs = jnp.asarray(base + delta, jnp.int32).reshape(-1)[:B] \
+        if leftpad else jnp.full((B,), 512 + delta, jnp.int32)
+    out = flash_attn_with_kvcache(q, kc, vc, cache_seqlens=cs,
+                                  cache_leftpad=lp, causal=True)
+    check(out, q, kc, vc, cache_seqlens=cs, cache_leftpad=lp, causal=True)
+
+
+@pytest.mark.parametrize("window", [(256, -1), (700, -1)])
+def test_decode_window_page_boundary(rng, window):
+    """Window edge landing inside vs between pages: the window_left branch
+    of the fully_valid predicate uses qpos_base + t_new - 1 (the NEWEST
+    row's position) — an off-by-one there would un-mask a column for the
+    oldest row."""
+    B, Hq, Hk, D, N = 2, 8, 2, 64, 1024
+    t_new = 4
+    q = mk(rng, B, t_new, Hq, D)
+    kc, vc = mk(rng, B, N, Hk, D), mk(rng, B, N, Hk, D)
+    cs = jnp.asarray([1024 - t_new, 777], jnp.int32)
+    out = flash_attn_with_kvcache(q, kc, vc, cache_seqlens=cs, causal=True,
+                                  window_size=window)
+    check(out, q, kc, vc, cache_seqlens=cs, causal=True, window_size=window)
