@@ -5,8 +5,11 @@ Mirrors the reference's public function and autograd boundary
   * input/output layout (B, M, H, D); GQA when Hk < Hq,
   * head-dim padded to a multiple of 8 and sliced back (:44-49),
   * default scale = head_dim**-0.5 computed on the *original* head dim,
-  * `deterministic` warns and is ignored (forward is always deterministic;
-    reference :119-121 / kernel/fused_mha_backward.cu:603),
+  * `deterministic` is accepted and always satisfied: the TPU backward is
+    bitwise-deterministic by construction (sequential Pallas grid, VMEM
+    accumulation, no atomics) — the reference needs a flag because its
+    CUDA backward races atomics (reference :119-121 /
+    kernel/fused_mha_backward.cu:603),
   * softcap and dropout are mutually exclusive
     (reference: kernel/fused_mha_forward.cu:347),
   * M == 1 drops causal (reference: kernel/fused_mha_forward.cu:343),
@@ -23,7 +26,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import warnings
 from typing import Optional, Tuple, Union
 
 import jax
@@ -135,11 +137,12 @@ def flash_attn_func(
     `jax.grad`.  When `return_attn_probs` is True returns (out, lse, dmask);
     dmask is None unless dropout_p > 0.
     """
-    if deterministic:
-        warnings.warn(
-            "Forward is always deterministic. Deterministic backward is not supported.",
-            RuntimeWarning,
-        )
+    # `deterministic` is always satisfied on TPU: Pallas grid steps run
+    # sequentially per core and dQ/dKV accumulate in VMEM scratch (no
+    # atomics), so the backward is bitwise-deterministic with the flag on
+    # or off — unlike the reference, where True selects a slower
+    # atomics-free path (flash_attn_interface.py `deterministic` doc).
+    del deterministic
     if softcap > 0.0 and dropout_p > 0.0:
         raise ValueError("softcap and dropout are mutually exclusive "
                          "(reference: kernel/fused_mha_forward.cu:347)")

@@ -2,8 +2,9 @@
 
 Mirrors the reference (flash_attn_v100/flash_attn_interface.py:157-318):
 packed (total, H, D) layout, int32 cu_seqlens, head-dim %8 padding, default
-scale from the original head dim, softcap ⊥ dropout, deterministic
-warn-and-ignore.  Extras carried over from the binding surface the python
+scale from the original head dim, softcap ⊥ dropout, `deterministic`
+accepted and always satisfied (TPU backward is deterministic by
+construction — see ops/flash_attention.py).  Extras carried over from the binding surface the python
 wrapper hardwires to None (interface.py:221-223): `seqused_k`, `leftpad_k`.
 
 `block_table` (paged K/V for prefill, reference:
@@ -16,7 +17,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import warnings
 from typing import Optional, Tuple, Union
 
 import jax
@@ -146,11 +146,10 @@ def flash_attn_varlen_func(
     Returns out (total_q, Hq, D); with return_attn_probs, (out, lse, dmask)
     where lse is (Hq, total_q) fp32.
     """
-    if deterministic:
-        warnings.warn(
-            "Forward is always deterministic. Deterministic backward is not supported.",
-            RuntimeWarning,
-        )
+    # always satisfied on TPU: sequential grid + VMEM accumulation makes
+    # the backward bitwise-deterministic regardless of the flag (see
+    # ops/flash_attention.py)
+    del deterministic
     if softcap > 0.0 and dropout_p > 0.0:
         raise ValueError("softcap and dropout are mutually exclusive "
                          "(reference: kernel/fused_mha_forward_varlen.cu)")
