@@ -104,3 +104,65 @@ def test_hf_llama_decode_parity(rng):
     rid = eng.submit(prompt, max_new_tokens=n_new)
     res = eng.run_to_completion()
     assert res[rid] == ref, (res[rid], ref)
+
+
+# ---- torch interop (integrations/torch_interop.py) ----
+
+def test_torch_interop_forward_matches_sdpa(rng):
+    torch = pytest.importorskip("torch")
+    from flash_attn_v100_tpu.integrations.torch_interop import (
+        flash_attn_func_torch)
+    B, M, H, D = 2, 64, 4, 32
+    q = torch.randn(B, M, H, D, dtype=torch.float32)
+    k = torch.randn(B, M, H, D, dtype=torch.float32)
+    v = torch.randn(B, M, H, D, dtype=torch.float32)
+    out = flash_attn_func_torch(q, k, v, causal=True)
+    assert isinstance(out, torch.Tensor) and out.shape == q.shape
+    ref = torch.nn.functional.scaled_dot_product_attention(
+        q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2),
+        is_causal=True).transpose(1, 2)
+    assert float((out - ref).abs().max()) < 2e-2
+
+
+def test_torch_interop_noncontiguous_and_kvcache(rng):
+    torch = pytest.importorskip("torch")
+    from flash_attn_v100_tpu.integrations.torch_interop import (
+        flash_attn_with_kvcache_torch)
+    B, N, Hq, Hk, D = 2, 128, 4, 2, 32
+    q = torch.randn(B, 1, Hq, D)
+    # non-contiguous cache (transposed view) must be handled by the adapter
+    kc = torch.randn(B, Hk, N, D).transpose(1, 2)
+    vc = torch.randn(B, Hk, N, D).transpose(1, 2)
+    cs = torch.full((B,), 100, dtype=torch.int32)
+    out = flash_attn_with_kvcache_torch(q, kc, vc, cache_seqlens=cs,
+                                        causal=True)
+    from flash_attn_v100_tpu import flash_attn_with_kvcache
+    ref = flash_attn_with_kvcache(
+        jnp.asarray(q.numpy()), jnp.asarray(kc.contiguous().numpy()),
+        jnp.asarray(vc.contiguous().numpy()),
+        cache_seqlens=jnp.asarray(cs.numpy()), causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_torch_autograd_fn_grads_match_torch_sdpa(rng):
+    torch = pytest.importorskip("torch")
+    from flash_attn_v100_tpu.integrations.torch_interop import (
+        make_torch_autograd_fn)
+    B, M, H, D = 1, 48, 2, 16
+    q0 = torch.randn(B, M, H, D, dtype=torch.float32)
+    k0 = torch.randn(B, M, H, D, dtype=torch.float32)
+    v0 = torch.randn(B, M, H, D, dtype=torch.float32)
+
+    fa = make_torch_autograd_fn(causal=True)
+    q1, k1, v1 = (t.clone().requires_grad_(True) for t in (q0, k0, v0))
+    fa(q1, k1, v1).square().sum().backward()
+
+    q2, k2, v2 = (t.clone().requires_grad_(True) for t in (q0, k0, v0))
+    torch.nn.functional.scaled_dot_product_attention(
+        q2.transpose(1, 2), k2.transpose(1, 2), v2.transpose(1, 2),
+        is_causal=True).transpose(1, 2).square().sum().backward()
+
+    for a, b in ((q1, q2), (k1, k2), (v1, v2)):
+        assert float((a.grad - b.grad).abs().max()) < 5e-2, \
+            float((a.grad - b.grad).abs().max())
