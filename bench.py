@@ -130,6 +130,35 @@ def main():
     except Exception as e:  # secondary metrics must not break the bench line
         print(f"secondary bench failed: {e}", file=sys.stderr)
 
+    # ---- secondary: serving TTFT p50 (stderr) — BASELINE primary metric ----
+    try:
+        import time
+        from flash_attn_v100_tpu.models.transformer import (
+            ModelConfig, init_params)
+        from flash_attn_v100_tpu.runtime.engine import ServingEngine
+        cfg = ModelConfig(vocab_size=32000, dim=1024, n_layers=4, n_heads=16,
+                          n_kv_heads=8, head_dim=64, ffn_dim=2816,
+                          max_seq_len=2048, dtype=jnp.bfloat16)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        eng = ServingEngine(params, cfg, max_batch=16, num_pages=512,
+                            page_size=64)
+        prompts = [rng.integers(1, cfg.vocab_size, 512).tolist()
+                   for _ in range(24)]
+        eng.submit(prompts[0], max_new_tokens=2)   # compile warmup
+        eng.run_to_completion()
+        t0 = time.monotonic()
+        rids = [eng.submit(p, max_new_tokens=64) for p in prompts]
+        eng.run_to_completion()
+        wall = time.monotonic() - t0
+        total_new = sum(len(eng.result(r)) for r in rids)
+        ttfts = sorted(eng.ttft(r) for r in rids)
+        p50 = ttfts[len(ttfts) // 2]
+        print(f"serving_ttft_p50: {p50*1e3:.0f} ms "
+              f"(L=4 d=1024 engine, 24 reqs x 512 prompt, batch<=16); "
+              f"engine decode {total_new/wall:.0f} tok/s/chip", file=sys.stderr)
+    except Exception as e:
+        print(f"serving bench failed: {e}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
