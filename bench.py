@@ -46,6 +46,19 @@ def med3(fn, *args, n, iters=4):
 
 
 def main():
+    # Watchdog: axon backend init can hang INDEFINITELY when the TPU tunnel
+    # is down (observed 2026-08-17); a clean timeout beats wedging the
+    # caller.  45 min covers worst-case cold compiles of every section.
+    import signal
+
+    def _die(signum, frame):
+        print("bench watchdog: exceeded 45 min (TPU tunnel down or "
+              "compile wedged)", file=sys.stderr)
+        sys.exit(3)
+
+    signal.signal(signal.SIGALRM, _die)
+    signal.alarm(45 * 60)
+
     from flash_attn_v100_tpu import flash_attn_func, flash_attn_with_kvcache
     from flash_attn_v100_tpu.ops.quant import quantize_kv
     from flash_attn_v100_tpu.utils.benchmarking import gbps, attention_flops, tflops
