@@ -1,6 +1,12 @@
 """Flagship model: a Llama-family decoder transformer built on the framework's
 attention ops — pure-JAX param pytrees, no flax dependency.
 
+Model families: the same block covers Llama/TinyLlama (baseline),
+Mistral (`sliding_window` — lowered to the kernels' `window_size` left
+window), and Qwen2 (`qkv_bias` — biased q/k/v projections).  Family
+selection is pure config: `integrations.huggingface.convert_hf_model`
+derives it from the checkpoint.
+
 Role in the framework: what the reference validates through unsloth LoRA SFT
 of llama-2-7b (reference: utils/benchmarks/benchmark_unsloth.py:50-190) — an
 end-to-end model exercising the attention engine — is here a first-class
@@ -47,6 +53,17 @@ class ModelConfig:
     norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
     dropout_p: float = 0.0
+    # Mistral-family local attention: each token attends to the previous
+    # `sliding_window` positions inclusive (HF semantics) -> kernel
+    # window_size = (sliding_window - 1, 0 via causal).
+    sliding_window: Optional[int] = None
+    # Qwen2-family biased q/k/v projections.
+    qkv_bias: bool = False
+
+    def window_size(self) -> Tuple[int, int]:
+        if self.sliding_window is None:
+            return (-1, -1)
+        return (self.sliding_window - 1, -1)
 
     @staticmethod
     def tiny(**kw) -> "ModelConfig":
@@ -69,7 +86,7 @@ def init_params(key, cfg: ModelConfig) -> Dict:
     hd, hq, hk = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     for i in range(cfg.n_layers):
         ks = jax.random.split(keys[i], 7)
-        layers.append(dict(
+        layer = dict(
             wq=dense(ks[0], cfg.dim, (cfg.dim, hq * hd)),
             wk=dense(ks[1], cfg.dim, (cfg.dim, hk * hd)),
             wv=dense(ks[2], cfg.dim, (cfg.dim, hk * hd)),
@@ -79,7 +96,14 @@ def init_params(key, cfg: ModelConfig) -> Dict:
             w2=dense(ks[6], cfg.ffn_dim, (cfg.ffn_dim, cfg.dim)),
             ln1=jnp.ones((cfg.dim,), cfg.dtype),
             ln2=jnp.ones((cfg.dim,), cfg.dtype),
-        ))
+        )
+        if cfg.qkv_bias:
+            layer.update(
+                bq=jnp.zeros((hq * hd,), cfg.dtype),
+                bk=jnp.zeros((hk * hd,), cfg.dtype),
+                bv=jnp.zeros((hk * hd,), cfg.dtype),
+            )
+        layers.append(layer)
     return dict(
         embed=(jax.random.normal(keys[-2], (cfg.vocab_size, cfg.dim), jnp.float32)
                * 0.02).astype(cfg.dtype),
@@ -103,10 +127,23 @@ def rmsnorm(x, scale, eps=1e-5):
     return (x32 * inv).astype(x.dtype) * scale
 
 
+def qkv_proj(h, lp, cfg: ModelConfig, B: int, T: int):
+    """Projections for one block; Qwen2-family checkpoints carry q/k/v biases."""
+    q, k, v = h @ lp["wq"], h @ lp["wk"], h @ lp["wv"]
+    if "bq" in lp:
+        q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+    return (q.reshape(B, T, cfg.n_heads, cfg.head_dim),
+            k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim),
+            v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim))
+
+
 def _attention(q, k, v, cfg, mesh, rng_key, interpret):
     if mesh is not None and mesh.shape.get(SEQ_AXIS, 1) > 1:
-        return ring_attention(q, k, v, mesh, causal=True, interpret=interpret)
+        return ring_attention(q, k, v, mesh, causal=True,
+                              window_size=cfg.window_size(),
+                              interpret=interpret)
     return flash_attn_func(q, k, v, causal=True, dropout_p=cfg.dropout_p,
+                           window_size=cfg.window_size(),
                            rng_key=rng_key, interpret=interpret)
 
 
@@ -126,9 +163,7 @@ def forward(params, tokens, cfg: ModelConfig, *,
 
     for i, lp in enumerate(params["layers"]):
         h = rmsnorm(x, lp["ln1"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(B, S, cfg.n_heads, cfg.head_dim)
-        k = (h @ lp["wk"]).reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ lp["wv"]).reshape(B, S, cfg.n_kv_heads, cfg.head_dim)
+        q, k, v = qkv_proj(h, lp, cfg, B, S)
         q = apply_rotary_emb(q, cos, sin, pos, interleaved=False)
         k = apply_rotary_emb(k, cos, sin, pos, interleaved=False)
         key_i = None if rng_key is None else jax.random.fold_in(rng_key, i)
@@ -193,13 +228,17 @@ def param_shardings(params, cfg: ModelConfig, mesh: Mesh):
         return NamedSharding(mesh, spec)
 
     def layer_spec(lp):
-        return dict(
+        spec = dict(
             wq=shard(P(None, MODEL_AXIS)), wk=shard(P(None, MODEL_AXIS)),
             wv=shard(P(None, MODEL_AXIS)), wo=shard(P(MODEL_AXIS, None)),
             w1=shard(P(None, MODEL_AXIS)), w3=shard(P(None, MODEL_AXIS)),
             w2=shard(P(MODEL_AXIS, None)),
             ln1=shard(P()), ln2=shard(P()),
         )
+        if "bq" in lp:  # biases follow their column-sharded projections
+            spec.update(bq=shard(P(MODEL_AXIS)), bk=shard(P(MODEL_AXIS)),
+                        bv=shard(P(MODEL_AXIS)))
+        return spec
 
     return dict(
         embed=shard(P()),
@@ -234,12 +273,11 @@ def decode_step(params, caches, tokens, cache_seqlens, cfg: ModelConfig, *,
     new_caches = []
     for lp, (kc, vc) in zip(params["layers"], caches):
         h = rmsnorm(x, lp["ln1"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
-        k = (h @ lp["wk"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ lp["wv"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        q, k, v = qkv_proj(h, lp, cfg, B, T)
         attn, (kc, vc) = flash_attn_with_kvcache(
             q, kc, vc, k=k, v=v, rotary_cos=cos, rotary_sin=sin,
             cache_seqlens=cache_seqlens, causal=True,
+            window_size=cfg.window_size(),
             rotary_interleaved=False, kv_cache_layout="HND",
             interpret=interpret)
         new_caches.append((kc, vc))

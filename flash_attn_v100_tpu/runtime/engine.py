@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flash_attn_v100_tpu.models.transformer import (
-    ModelConfig, rmsnorm, rope_tables)
+    ModelConfig, qkv_proj, rmsnorm, rope_tables)
 from flash_attn_v100_tpu.ops.kvcache import flash_attn_with_kvcache
 from flash_attn_v100_tpu.runtime.scheduler import Scheduler
 
@@ -72,6 +72,7 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
             q, kp, vp, k=k, v=v,
             rotary_cos=cos, rotary_sin=sin, cache_seqlens=cache_seqlens,
             block_table=block_table, causal=True, rotary_interleaved=False,
+            window_size=cfg.window_size(),
             k_scales=ksc, v_scales=vsc,
             kv_cache_layout="HND", interpret=interpret)
 
@@ -92,6 +93,7 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
                 q, kp, vp, mesh, cache_seqlens, k=k, v=v,
                 rotary_cos=cos, rotary_sin=sin, block_table=block_table,
                 k_scales=ksc, v_scales=vsc, causal=True,
+                window_size=cfg.window_size(),
                 rotary_interleaved=False, interpret=interpret)
             return res
     elif mesh is not None:
@@ -115,9 +117,7 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
 
     for li, lp in enumerate(params["layers"]):
         h = rmsnorm(x, lp["ln1"], cfg.norm_eps)
-        q = (h @ lp["wq"]).reshape(B, T, cfg.n_heads, cfg.head_dim)
-        k = (h @ lp["wk"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
-        v = (h @ lp["wv"]).reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        q, k, v = qkv_proj(h, lp, cfg, B, T)
         if quantized:
             attn, (kc, vc, ksc, vsc) = attn_step(
                 q, k_pool[li], v_pool[li], k, v, k_scales[li], v_scales[li])

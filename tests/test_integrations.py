@@ -106,6 +106,91 @@ def test_hf_llama_decode_parity(rng):
     assert res[rid] == ref, (res[rid], ref)
 
 
+# ---- HF model families: Mistral (sliding window), Qwen2 (qkv bias) ----
+
+def _tiny_hf_mistral():
+    torch = pytest.importorskip("torch")
+    tfs = pytest.importorskip("transformers")
+    # sliding_window=8 << seqlen so the local-attention mask actually bites
+    hf_cfg = tfs.MistralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-6, rope_theta=10000.0,
+        sliding_window=8, tie_word_embeddings=False)
+    torch.manual_seed(1)
+    with torch.no_grad():
+        model = tfs.MistralForCausalLM(hf_cfg).eval()
+    return model, hf_cfg
+
+
+def test_hf_mistral_logit_parity(rng):
+    """Sliding-window checkpoints lower to the kernels' window_size path."""
+    torch = pytest.importorskip("torch")
+    from flash_attn_v100_tpu.integrations.huggingface import convert_hf_model
+    model, hf_cfg = _tiny_hf_mistral()
+    params, cfg = convert_hf_model(model, dtype=jnp.float32)
+    assert cfg.sliding_window == 8 and not cfg.qkv_bias
+    assert cfg.window_size() == (7, -1)
+
+    toks = rng.integers(0, hf_cfg.vocab_size, (2, 24))
+    with torch.no_grad():
+        ref = model(torch.asarray(np.asarray(toks))).logits.float().numpy()
+    got = np.asarray(forward(params, jnp.asarray(toks, jnp.int32), cfg))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_hf_mistral_engine_decode_parity(rng):
+    """Greedy decode through the paged engine applies the sliding window to
+    cached context (context longer than the window)."""
+    torch = pytest.importorskip("torch")
+    from flash_attn_v100_tpu.integrations.huggingface import convert_hf_model
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    model, hf_cfg = _tiny_hf_mistral()
+    params, cfg = convert_hf_model(model, dtype=jnp.float32)
+
+    prompt = rng.integers(1, hf_cfg.vocab_size, (12,)).tolist()  # > window
+    n_new = 6
+    with torch.no_grad():
+        out = model.generate(
+            torch.asarray(np.asarray([prompt])), max_new_tokens=n_new,
+            do_sample=False, use_cache=True, pad_token_id=0)
+    ref = out[0, len(prompt):].tolist()
+
+    eng = ServingEngine(params, cfg, max_batch=2, num_pages=16, page_size=16)
+    rid = eng.submit(prompt, max_new_tokens=n_new)
+    res = eng.run_to_completion()
+    assert res[rid] == ref, (res[rid], ref)
+
+
+def test_hf_qwen2_logit_parity(rng):
+    """Biased q/k/v projections import and match HF logits."""
+    torch = pytest.importorskip("torch")
+    tfs = pytest.importorskip("transformers")
+    from flash_attn_v100_tpu.integrations.huggingface import convert_hf_model
+    hf_cfg = tfs.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-6,
+        tie_word_embeddings=False)
+    torch.manual_seed(2)
+    with torch.no_grad():
+        model = tfs.Qwen2ForCausalLM(hf_cfg).eval()
+        # zero-init HF bias: randomize so the parity test actually covers it
+        for layer in model.model.layers:
+            for proj in (layer.self_attn.q_proj, layer.self_attn.k_proj,
+                         layer.self_attn.v_proj):
+                proj.bias.normal_(0.0, 0.5)
+    params, cfg = convert_hf_model(model, dtype=jnp.float32)
+    assert cfg.qkv_bias and cfg.sliding_window is None
+    assert "bq" in params["layers"][0]
+
+    toks = rng.integers(0, hf_cfg.vocab_size, (2, 24))
+    with torch.no_grad():
+        ref = model(torch.asarray(np.asarray(toks))).logits.float().numpy()
+    got = np.asarray(forward(params, jnp.asarray(toks, jnp.int32), cfg))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
 # ---- torch interop (integrations/torch_interop.py) ----
 
 def test_torch_interop_forward_matches_sdpa(rng):
