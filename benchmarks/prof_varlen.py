@@ -83,3 +83,15 @@ if "bs" in sys.argv:
         bench_bs([2048] * 8, True, "8x2048 causal", bq, bk)
     for bq, bk in ((512, 512), (1024, 512)):
         bench_bs([128, 512, 1024, 4096, 2048, 300, 37, 4096], True, "mixed causal ", bq, bk)
+
+if "ceiling" in sys.argv:
+    # force every live tile through the FAST path (WRONG numerics — cost
+    # probe only): isolates what the semi/general mask pipeline costs on
+    # the causal diagonal tiles.
+    from flash_attn_v100_tpu.ops.pallas import varlen as _vl
+
+    def _always_fast(params, qagg_ref, kagg_ref, qi, ki):
+        return (qi == qi)
+
+    _vl._tile_fast = _always_fast
+    bench([2048] * 8, True, "8x2048 causal CEILING(all-fast)")

@@ -185,8 +185,26 @@ def block_aggregates(seg, pos_plus, num_blocks: int, block: int):
         num_blocks, block)
     t2 = val2 - idx
     t_val = jnp.max(jnp.where(valid, t2, -BIG), axis=1)
+    # row 5: seg_min EXCLUDING padding — with row 1 (seg_max, which padding
+    # can never raise) this gives the tile-overlap predicate `run` as pure
+    # SMEM scalar compares, replacing a per-step VPU reduction over the
+    # (bq,1)/(1,bk) seg vectors (~0.3 us/step, benchmarks/prof_small_streams)
+    seg_min_v = jnp.min(jnp.where(valid, seg2, BIG), axis=1)
     return jnp.stack([seg_min, seg_max, val_min, val_max,
-                      t_val]).astype(jnp.int32)
+                      t_val, seg_min_v]).astype(jnp.int32)
+
+
+def _tile_overlaps(qagg_ref, kagg_ref, qi, ki):
+    """Tile-pair segment-overlap predicate (`run`) from the prefetched block
+    aggregates — pure SMEM scalar compares.  Replaces the per-step VPU
+    min/max reduction over the (b,1)/(1,b) seg vectors
+    (masklib.ragged_block_overlaps), which measured ~0.3 us/step
+    (benchmarks/prof_small_streams.py).  Rows 5/1 are seg_min excluding
+    padding / raw seg_max (padding == -1 never raises the max; an
+    all-padding tile has max == -1 and fails the >= 0 gates)."""
+    q_max, k_max = qagg_ref[1, qi], kagg_ref[1, ki]
+    return ((kagg_ref[5, ki] <= q_max) & (qagg_ref[5, qi] <= k_max)
+            & (q_max >= 0) & (k_max >= 0))
 
 
 def _tile_uniform(qagg_ref, kagg_ref, qi, ki):
@@ -268,6 +286,7 @@ def _varlen_fwd_kernel(
     block_q: int,
     block_k: int,
     num_kv_blocks_total: int,
+    skip_p_zero: bool = False,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -285,6 +304,7 @@ def _varlen_fwd_kernel(
     # The window length is DYNAMIC (max live span over q blocks, a traced
     # grid dim) — exact, not a static bound.
     ki = lo_ref[qi] + kin
+    ki_c = jnp.minimum(ki, num_kv_blocks_total - 1)
 
     @pl.when(kin == 0)
     def _init():
@@ -292,11 +312,10 @@ def _varlen_fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q_seg = qseg_ref[...]  # (block_q, 1)
-    k_seg = kseg_ref[...]  # (1, block_k)
     # the prefetched block range covers bounds/causal/window; seg overlap
-    # still trims interior gaps of multi-sequence tiles
-    run = (ki <= hi_ref[qi]) & masklib.ragged_block_overlaps(q_seg, k_seg)
+    # (from SMEM block aggregates) still trims interior gaps of
+    # multi-sequence tiles
+    run = (ki <= hi_ref[qi]) & _tile_overlaps(qagg_ref, kagg_ref, qi, ki_c)
 
     # softmax in the exp2 domain unless softcap's tanh needs natural scale
     # (same trick as fwd.py; lse converts at the store)
@@ -310,15 +329,13 @@ def _varlen_fwd_kernel(
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
 
-        q_pos = qpos_ref[...]
-        k_pos = kpos_ref[...]
         valid = None
         if mode == "general":
             offs = qoff_ref[...]
             alibi_slope = (slope_ref[0] * c) if has_alibi else None  # (bq, 1)
             s, valid = masklib.apply_score_pipeline_ragged(
-                s, q_pos, k_pos, q_seg, k_seg, offs,
-                softmax_scale=softmax_scale * c, params=params,
+                s, qpos_ref[...], kpos_ref[...], qseg_ref[...], kseg_ref[...],
+                offs, softmax_scale=softmax_scale * c, params=params,
                 alibi_slope=alibi_slope,
             )
         else:
@@ -329,10 +346,16 @@ def _varlen_fwd_kernel(
                 s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
             if mode == "semi":
                 valid = _semifast_mask(
-                    params, qagg_ref, kagg_ref, qi,
-                    jnp.minimum(ki, num_kv_blocks_total - 1),
+                    params, qagg_ref, kagg_ref, qi, ki_c,
                     qi * block_q, ki * block_k, block_q, block_k)
                 s = jnp.where(valid, s, NEG_INF)
+                if skip_p_zero:
+                    # single-sequence tile, window_left < 0, offs == 0
+                    # statically guaranteed: every row's first visited tile
+                    # contains its col 0, so m is finite by the time any
+                    # masked col shows up and exp underflows to exact 0 —
+                    # the dense kernels' needs_p_zero rule (fwd.py)
+                    valid = None
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -347,8 +370,9 @@ def _varlen_fwd_kernel(
         l_scr[...] = l_next
 
         if has_dropout:
-            bh = q_seg * num_heads + h  # (block_q, 1), broadcasts over cols
-            keep = philox.dropout_keep_mask(q_pos, k_pos, bh,
+            # (block_q, 1) seg, broadcasts over cols
+            bh = qseg_ref[...] * num_heads + h
+            keep = philox.dropout_keep_mask(qpos_ref[...], kpos_ref[...], bh,
                                             seed_ref[0], seed_ref[1], dropout_p)
             p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
 
@@ -363,9 +387,8 @@ def _varlen_fwd_kernel(
         def _compute():
             body("general")
     else:
-        # ki may run past the live range on dead window steps: clip the
-        # aggregate lookup (run is False there; fast's value is irrelevant)
-        ki_c = jnp.minimum(ki, num_kv_blocks_total - 1)
+        # ki may run past the live range on dead window steps: aggregate
+        # lookups use the clipped ki_c (run is False there anyway)
         uniform = _tile_uniform(qagg_ref, kagg_ref, qi, ki_c)
         fast = _tile_fast(params, qagg_ref, kagg_ref, qi, ki_c)
 
@@ -408,6 +431,8 @@ def flash_attn_varlen_fwd(
     interpret: Optional[bool] = None,
     equal_lens: bool = False,   # obsolete (dynamic live windows); accepted
                                 # for call-site compatibility, ignored
+    self_kv: bool = False,      # q and k share one cu_seqlens (offs == 0
+                                # statically); enables skip_p_zero below
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (out (Tq, Hq, D), lse (Hq, Tq) fp32 — the reference's varlen
     LSE layout (kernel/fused_mha_forward_varlen.cu:519))."""
@@ -495,11 +520,20 @@ def flash_attn_varlen_fwd(
             pltpu.VMEM((bq, D), jnp.float32),
         ],
     )
+    # the semi path's p-zero pass is skippable exactly when no row's FIRST
+    # visited tile can be fully masked (dense needs_p_zero rule): no left
+    # window and per-sequence offs == 0.  offs == 0 is static only for
+    # self-attention packing (`self_kv`, no seqused/leftpad) — an
+    # optimization trigger, not a semantics switch (misses merely keep
+    # the where).
+    skip_p_zero = (params.window_left < 0 and self_kv
+                   and seqused_k is None and leftpad_k is None)
     out, lse = pl.pallas_call(
         functools.partial(
             _varlen_fwd_kernel, params=params, softmax_scale=softmax_scale,
             dropout_p=dropout_p, num_heads=Hq,
             block_q=bq, block_k=bk, num_kv_blocks_total=num_kv_blocks,
+            skip_p_zero=skip_p_zero,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -542,14 +576,13 @@ def _varlen_dq_kernel(
 
     h, qi, kin = (pl.program_id(i) for i in range(3))
     ki = lo_ref[qi] + kin     # dynamic windowed inner axis (see fwd kernel)
+    ki_c = jnp.minimum(ki, num_kv_blocks_total - 1)
 
     @pl.when(kin == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    q_seg = qseg_ref[...]
-    k_seg = kseg_ref[...]
-    run = (ki <= hi_ref[qi]) & masklib.ragged_block_overlaps(q_seg, k_seg)
+    run = (ki <= hi_ref[qi]) & _tile_overlaps(qagg_ref, kagg_ref, qi, ki_c)
 
     def body(mode: str):
         q = q_ref[0]
@@ -558,12 +591,11 @@ def _varlen_dq_kernel(
         do = do_ref[0]
         s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        q_pos = qpos_ref[...]
-        k_pos = kpos_ref[...]
         if mode == "general":
             alibi_slope = slope_ref[0] if has_alibi else None
             s, valid = masklib.apply_score_pipeline_ragged(
-                s, q_pos, k_pos, q_seg, k_seg, qoff_ref[...],
+                s, qpos_ref[...], kpos_ref[...], qseg_ref[...], kseg_ref[...],
+                qoff_ref[...],
                 softmax_scale=softmax_scale, params=params,
                 alibi_slope=alibi_slope,
             )
@@ -574,8 +606,7 @@ def _varlen_dq_kernel(
             valid = None
             if mode == "semi":
                 valid = _semifast_mask(
-                    params, qagg_ref, kagg_ref, qi,
-                    jnp.minimum(ki, num_kv_blocks_total - 1),
+                    params, qagg_ref, kagg_ref, qi, ki_c,
                     qi * block_q, ki * block_k, block_q, block_k)
                 s = jnp.where(valid, s, NEG_INF)
         lse_rows = lse_ref[0]      # (bq, 1)
@@ -587,8 +618,8 @@ def _varlen_dq_kernel(
         dov = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if has_dropout:
-            bh = q_seg * num_heads + h
-            keep = philox.dropout_keep_mask(q_pos, k_pos, bh,
+            bh = qseg_ref[...] * num_heads + h
+            keep = philox.dropout_keep_mask(qpos_ref[...], kpos_ref[...], bh,
                                             seed_ref[0], seed_ref[1], dropout_p)
             p_drop = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
         else:
@@ -604,7 +635,6 @@ def _varlen_dq_kernel(
         def _compute():
             body("general")
     else:
-        ki_c = jnp.minimum(ki, num_kv_blocks_total - 1)
         uniform = _tile_uniform(qagg_ref, kagg_ref, qi, ki_c)
         fast = _tile_fast(params, qagg_ref, kagg_ref, qi, ki_c)
 
@@ -650,6 +680,7 @@ def _varlen_dkv_kernel(
     win_q = meta_ref[0]
     g = t // win_q
     qi = lo_ref[ki] + t % win_q
+    qi_c = jnp.minimum(qi, num_q_blocks_total - 1)
     h = hk * group + g
 
     @pl.when(t == 0)
@@ -657,9 +688,7 @@ def _varlen_dkv_kernel(
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    q_seg = qseg_ref[...]  # (1, bq)
-    k_seg = kseg_ref[...]  # (bk, 1)
-    run = (qi <= hi_ref[ki]) & masklib.ragged_block_overlaps(q_seg, k_seg)
+    run = (qi <= hi_ref[ki]) & _tile_overlaps(qagg_ref, kagg_ref, qi_c, ki)
 
     def body(mode: str):
         q = q_ref[0]
@@ -668,12 +697,11 @@ def _varlen_dkv_kernel(
         do = do_ref[0]
         st = jax.lax.dot_general(kk, q, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # (bk, bq)
-        q_pos = qpos_ref[...]  # (1, bq)
-        k_pos = kpos_ref[...]  # (bk, 1)
         if mode == "general":
             alibi_slope = slope_ref[0] if has_alibi else None  # (1, bq)
             st, valid = masklib.apply_score_pipeline_ragged(
-                st, q_pos, k_pos, q_seg, k_seg, qoff_ref[...],
+                st, qpos_ref[...], kpos_ref[...], qseg_ref[...], kseg_ref[...],
+                qoff_ref[...],
                 softmax_scale=softmax_scale, params=params,
                 alibi_slope=alibi_slope,
             )
@@ -684,8 +712,7 @@ def _varlen_dkv_kernel(
             valid = None
             if mode == "semi":
                 valid = _semifast_mask(
-                    params, qagg_ref, kagg_ref,
-                    jnp.minimum(qi, num_q_blocks_total - 1), ki,
+                    params, qagg_ref, kagg_ref, qi_c, ki,
                     qi * block_q, ki * block_k, block_q, block_k,
                     transposed=True)
                 st = jnp.where(valid, st, NEG_INF)
@@ -698,8 +725,8 @@ def _varlen_dkv_kernel(
         dovt = jax.lax.dot_general(vv, do, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         if has_dropout:
-            bh = q_seg * num_heads + h
-            keep = philox.dropout_keep_mask(q_pos, k_pos, bh,
+            bh = qseg_ref[...] * num_heads + h
+            keep = philox.dropout_keep_mask(qpos_ref[...], kpos_ref[...], bh,
                                             seed_ref[0], seed_ref[1], dropout_p)
             pt_drop = jnp.where(keep, pt * (1.0 / (1.0 - dropout_p)), 0.0)
         else:
@@ -718,7 +745,6 @@ def _varlen_dkv_kernel(
         def _compute():
             body("general")
     else:
-        qi_c = jnp.minimum(qi, num_q_blocks_total - 1)
         uniform = _tile_uniform(qagg_ref, kagg_ref, qi_c, ki)
         fast = _tile_fast(params, qagg_ref, kagg_ref, qi_c, ki)
 

@@ -43,6 +43,11 @@ class _VarlenCfg:
     equal_lens: bool
     block_sizes: Optional[BlockSizes]
     interpret: Optional[bool]
+    # caller passed the SAME cu_seqlens object for q and k (self-attention
+    # packing => per-sequence offs == 0 statically).  Computed OUTSIDE the
+    # custom_vjp (tracing makes same-object args distinct tracers inside);
+    # pure optimization trigger for the fwd kernel's skip_p_zero.
+    self_kv: bool = False
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -53,7 +58,7 @@ def _varlen_core(cfg, q, k, v, cu_q, cu_k, seqused_k, leftpad_k, slopes, seed):
         alibi_slopes=slopes, dropout_p=cfg.dropout_p, dropout_seed=seed,
         seqused_k=seqused_k, leftpad_k=leftpad_k,
         block_sizes=cfg.block_sizes, interpret=cfg.interpret,
-        equal_lens=cfg.equal_lens,
+        equal_lens=cfg.equal_lens, self_kv=cfg.self_kv,
     )
     return out, lse
 
@@ -157,8 +162,13 @@ def flash_attn_varlen_func(
     # block ranges (one compile serves every ragged batch); the old
     # equal-lens static-window special case is gone
     equal_lens = False
+    # preserve object identity through conversion: same-object cu arrays
+    # (self-attention packing) let the fwd kernel skip the semi-path p-zero
+    # pass (ops/pallas/varlen.py skip_p_zero — an optimization trigger only)
+    same_cu = cu_seqlens_k is cu_seqlens_q
     cu_seqlens_q = jnp.asarray(cu_seqlens_q, jnp.int32)
-    cu_seqlens_k = jnp.asarray(cu_seqlens_k, jnp.int32)
+    cu_seqlens_k = (cu_seqlens_q if same_cu
+                    else jnp.asarray(cu_seqlens_k, jnp.int32))
     B = cu_seqlens_q.shape[0] - 1
 
     if block_table is not None:
@@ -212,6 +222,7 @@ def flash_attn_varlen_func(
         has_seqused=seqused_k is not None, has_leftpad=leftpad_k is not None,
         equal_lens=bool(equal_lens),
         block_sizes=block_sizes, interpret=interpret,
+        self_kv=same_cu and block_table is None,
     )
     sk = None if seqused_k is None else jnp.asarray(seqused_k, jnp.int32)
     lp = None if leftpad_k is None else jnp.asarray(leftpad_k, jnp.int32)
