@@ -143,6 +143,27 @@ def main():
     except Exception as e:  # secondary metrics must not break the bench line
         print(f"secondary bench failed: {e}", file=sys.stderr)
 
+    # ---- secondary: varlen packed prefill (stderr) ----
+    try:
+        from flash_attn_v100_tpu import flash_attn_varlen_func
+        from flash_attn_v100_tpu.utils.benchmarking import tflops as _tflops
+        Hq, Hk, D = 32, 8, 128
+        lens = [2048] * 8
+        Tq = sum(lens)
+        qv = mkb(Tq, Hq, D)
+        kv_ = mkb(Tq, Hk, D)
+        vv = mkb(Tq, Hk, D)
+        cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+        NCH = 8
+        fv = chain(lambda qc, k, v: flash_attn_varlen_func(
+            qc, k, v, cu, cu, max(lens), max(lens), causal=True), NCH)
+        dtv = med3(fv, qv, kv_, vv, n=NCH)
+        flv = sum(4 * Hq * L * L * D // 2 for L in lens)
+        print(f"varlen_8x2048_causal_fwd: {_tflops(flv, dtv):.1f} TF/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"varlen bench failed: {e}", file=sys.stderr)
+
     # ---- secondary: serving TTFT p50 (stderr) — BASELINE primary metric ----
     try:
         import time
