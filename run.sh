@@ -36,6 +36,12 @@ if [[ "$RUN_TPU" == "1" ]]; then
   python benchmarks/sweep_varlen.py $QUICK
   echo "== hardware oracle sweep (kvcache decode) =="
   python benchmarks/sweep_decode.py $QUICK
+  echo "== randomized differential fuzz (unaligned/ragged edge cases) =="
+  if [[ -n "$QUICK" ]]; then
+    python benchmarks/fuzz_oracle.py 12
+  else
+    python benchmarks/fuzz_oracle.py 40
+  fi
   echo "== headline benchmark =="
   python bench.py
 fi
