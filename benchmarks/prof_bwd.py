@@ -49,6 +49,9 @@ CFGS = [
     ("dq512sq dkv1024x512",        BlockSizes(1024, 1024, 512, 512, 512, 1024)),
     ("dq1024x512 dkv1024x512",     BlockSizes(1024, 1024, 1024, 512, 512, 1024)),
     ("256sq both",                 BlockSizes(1024, 1024, 256, 256, 256, 256)),
+    ("dq1024sq dkv512sq",          BlockSizes(1024, 1024, 1024, 1024, 512, 512)),
+    ("dq512sq dkv1024sq",          BlockSizes(1024, 1024, 512, 512, 1024, 1024)),
+    ("1024sq both",                BlockSizes(1024, 1024, 1024, 1024, 1024, 1024)),
 ]
 
 fl = attention_flops(B, M, M, Hq, D, causal=True)
