@@ -204,6 +204,12 @@ class _Seq:
     sampling: Optional["SamplingParams"] = None
     on_token: Optional[Any] = None    # callback(rid, new_tokens: List[int])
     streamed: int = 0                 # tokens already delivered to on_token
+    # prefix cache bookkeeping: chain hashes of the prompt's FULL pages
+    # (page j's hash covers tokens [0, (j+1)*page_size)), and whether this
+    # sequence's pages currently hold committed prefill KV (False between
+    # a preemption and its re-prefill)
+    page_hashes: List[int] = dataclasses.field(default_factory=list)
+    prefilled: bool = False
 
 
 class ServingEngine:
@@ -222,6 +228,7 @@ class ServingEngine:
                  mesh=None, kv_dtype=None,
                  eos_token_id: Optional[int] = None,
                  eos_check_interval: int = 8,
+                 prefix_cache: bool = True,
                  interpret: Optional[bool] = None):
         """`mesh`: a jax.sharding.Mesh for tensor-parallel decode — KV heads
         and their page pools shard over the "model" axis; `params` must
@@ -232,7 +239,14 @@ class ServingEngine:
         `eos_token_id`: stop sequences at this token; checked every
         `eos_check_interval` steps with one batched device fetch, so a
         sequence may run up to interval-1 tokens past its EOS before being
-        reaped (its output is still truncated exactly at the EOS)."""
+        reaped (its output is still truncated exactly at the EOS).
+        `prefix_cache`: page-granular shared-prompt reuse — a new request
+        whose prompt prefix (in whole pages) matches a LIVE request's
+        committed prompt pages device-copies that KV into its own pages and
+        prefills only the suffix.  Compute reuse with storage duplication:
+        the page copy (~100 us/0.5k tokens) replaces the prefix's prefill
+        FLOPs (~ms) without refcounting pages across sequences, so the
+        scheduler/allocator and preemption semantics are untouched."""
         if cfg.max_seq_len % page_size:
             raise ValueError("page_size must divide cfg.max_seq_len")
         self.params = params
@@ -334,14 +348,31 @@ class ServingEngine:
             return (_sample_rows(logits[:, 0], key, temp, topk, topp),
                     cs + 1, kp, vp, ks, vs)
 
+        def copy_pages_fn(kp, vp, ks, vs, src, dst):
+            # prefix-cache page copy: pool page axis is 2; padding entries
+            # are src == dst == 0 (scratch -> itself, a no-op value-wise)
+            kp = kp.at[:, :, dst].set(kp[:, :, src])
+            vp = vp.at[:, :, dst].set(vp[:, :, src])
+            if self.quantized:
+                ks = ks.at[:, :, dst].set(ks[:, :, src])
+                vs = vs.at[:, :, dst].set(vs[:, :, src])
+            return kp, vp, ks, vs
+
         dn = (1, 2, 3, 4) if self.quantized else (1, 2)
         self._prefill_fn = jax.jit(prefill_fn, donate_argnums=dn)
         self._decode_fn = jax.jit(decode_fn, donate_argnums=dn)
+        self._copy_pages_fn = jax.jit(
+            copy_pages_fn,
+            donate_argnums=(0, 1, 2, 3) if self.quantized else (0, 1))
+        self.prefix_cache = prefix_cache
+        # chain hash -> (owner sid, n full pages covered)
+        self._prefix_index: Dict[int, Tuple[int, int]] = {}
         # scale placeholders so the jitted signature is uniform
         if not self.quantized:
             self.k_scales = jnp.zeros((1,), jnp.float32)
             self.v_scales = jnp.zeros((1,), jnp.float32)
-        self.metrics = dict(steps=0, tokens_generated=0, prefill_tokens=0)
+        self.metrics = dict(steps=0, tokens_generated=0, prefill_tokens=0,
+                            prefix_hits=0, prefix_tokens_reused=0)
 
     # ---- request API ----
 
@@ -360,9 +391,15 @@ class ServingEngine:
             raise ValueError("prompt + max_new_tokens exceeds max_seq_len")
         rid = self._next_id
         self._next_id += 1
-        self._seqs[rid] = _Seq(rid, list(prompt), max_new_tokens,
-                               submitted_at=time.monotonic(),
-                               sampling=sampling, on_token=on_token)
+        s = _Seq(rid, list(prompt), max_new_tokens,
+                 submitted_at=time.monotonic(),
+                 sampling=sampling, on_token=on_token)
+        if self.prefix_cache:
+            h, ps = 0, self.page_size
+            for j in range(len(prompt) // ps):
+                h = hash((h,) + tuple(prompt[j * ps:(j + 1) * ps]))
+                s.page_hashes.append(h)
+        self._seqs[rid] = s
         ok = self.sched.add(rid, len(prompt), max_new_tokens)
         assert ok
         return rid
@@ -448,12 +485,20 @@ class ServingEngine:
             self._run_decode(decode, finished)
         self.metrics["steps"] += 1
         for sid in finished:
-            self.sched.finish(sid)
-            self._seqs[sid].done = True
+            self._finish(sid)
         if (self.eos_token_id is not None
                 and self.metrics["steps"] % self.eos_check_interval == 0):
             finished += self._reap_eos(batch)
         return finished
+
+    def _finish(self, sid: int) -> None:
+        self.sched.finish(sid)
+        s = self._seqs[sid]
+        s.done = True
+        # freed pages must stop serving as prefix-copy sources
+        for h in s.page_hashes:
+            if self._prefix_index.get(h, (None, 0))[0] == sid:
+                del self._prefix_index[h]
 
     def _reap_eos(self, batch) -> List[int]:
         """Periodic EOS sweep: ONE batched fetch of every pending token
@@ -478,8 +523,7 @@ class ServingEngine:
                 s.streamed = len(s.generated)
             if self.eos_token_id in s.generated:
                 s.generated = s.generated[:s.generated.index(self.eos_token_id) + 1]
-                self.sched.finish(sid)
-                s.done = True
+                self._finish(sid)
                 reaped.append(sid)
         if reaped:
             self._steady = None   # batch composition changes next step
@@ -494,24 +538,87 @@ class ServingEngine:
                 out[sid] = self.result(sid)
         return out
 
+    def _prefix_lookup(self, sid: int, batch_ids) -> Tuple[List[int], int]:
+        """Longest committed whole-page prompt prefix of `sid` held by a
+        LIVE other sequence: returns (source page ids, n pages).  The hash
+        only indexes — token equality is checked exactly; sources that are
+        finished, preempted (no pages / prefilled=False), or prefilling in
+        this same batch are rejected."""
+        s = self._seqs[sid]
+        ps = self.page_size
+        max_i = min(len(s.page_hashes), (len(s.prompt) - 1) // ps)
+        for i in range(max_i, 0, -1):
+            ent = self._prefix_index.get(s.page_hashes[i - 1])
+            if not ent:
+                continue
+            src_id, n = ent
+            if src_id == sid or src_id in batch_ids or n < i:
+                continue
+            src = self._seqs.get(src_id)
+            if src is None or src.done or not src.prefilled:
+                continue
+            if src.prompt[:i * ps] != s.prompt[:i * ps]:
+                continue
+            src_pages = self.sched.pages_of(src_id)
+            if len(src_pages) < i:
+                continue
+            return src_pages[:i], i
+        return [], 0
+
     def _run_prefill(self, ids: List[int], finished: List[int]) -> None:
         # after preemption a sequence re-prefills prompt + already-emitted
         # tokens in one pass (the scheduler kept its generated count);
         # re-prefill is the one place mid-generation token VALUES are needed
         for sid in ids:
             self._materialize(self._seqs[sid])
+            self._seqs[sid].prefilled = False
+        # prefix cache: rows whose prompt prefix is already committed in a
+        # live sequence's pages copy that KV and prefill only the suffix
+        cached = {sid: 0 for sid in ids}
+        if self.prefix_cache:
+            batch_set = set(ids)
+            # seq-mesh pools: page ids are SHARD-LOCAL per block-table slot
+            # range; slot j's physical page-axis index carries the offset of
+            # the shard owning column j.  Source and destination prefixes
+            # cover the same slots 0..npg-1, so every copy is shard-local.
+            spp = (self.max_pages_per_seq // self.seq_shards
+                   if self.seq_shards > 1 else None)
+            shard_pages = self.sched.num_pages + 1
+
+            def phys(slot: int, page: int) -> int:
+                off = (slot // spp) * shard_pages if spp else 0
+                return off + page + 1           # +1: scratch page
+            src_idx, dst_idx = [], []
+            for sid in ids:
+                src_pages, npg = self._prefix_lookup(sid, batch_set)
+                if npg:
+                    dst_pages = self.sched.pages_of(sid)[:npg]
+                    src_idx += [phys(j, p) for j, p in enumerate(src_pages)]
+                    dst_idx += [phys(j, p) for j, p in enumerate(dst_pages)]
+                    cached[sid] = npg * self.page_size
+                    self.metrics["prefix_hits"] += 1
+                    self.metrics["prefix_tokens_reused"] += npg * self.page_size
+            if src_idx:
+                pad = self._bucket(len(src_idx)) - len(src_idx)
+                (self.k_pool, self.v_pool, self.k_scales,
+                 self.v_scales) = self._copy_pages_fn(
+                    self.k_pool, self.v_pool, self.k_scales, self.v_scales,
+                    jnp.asarray(src_idx + [0] * pad, jnp.int32),
+                    jnp.asarray(dst_idx + [0] * pad, jnp.int32))
         seqs = [self._seqs[sid].prompt + self._seqs[sid].generated
                 for sid in ids]
-        lens = [len(s) for s in seqs]
+        suffixes = [s[cached[sid]:] for sid, s in zip(ids, seqs)]
+        lens = [len(s) for s in suffixes]
         # bucket to bound recompiles; cap at max_seq_len so padded append
         # positions never walk off a full block-table row
         T = min(self._bucket(max(lens)), self.cfg.max_seq_len)
         toks = np.zeros((self.max_batch, T), np.int32)
         last_idx = np.zeros((self.max_batch,), np.int32)
-        for row, s in enumerate(seqs):
+        cs = np.zeros((self.max_batch,), np.int32)  # append position
+        for row, (sid, s) in enumerate(zip(ids, suffixes)):
             toks[row, :lens[row]] = s
             last_idx[row] = lens[row] - 1   # sample at the last REAL position
-        cs = np.zeros((self.max_batch,), np.int32)  # append from position 0
+            cs[row] = cached[sid]
         temp, topk, topp = self._sampling_arrays(ids)
         (tok, self.k_pool, self.v_pool,
          self.k_scales, self.v_scales) = self._prefill_fn(
@@ -522,6 +629,11 @@ class ServingEngine:
             self._next_key(), temp, topk, topp)
         self._emit(ids, tok, finished, first=True)
         self.metrics["prefill_tokens"] += int(sum(lens))
+        for sid in ids:
+            s = self._seqs[sid]
+            s.prefilled = True
+            for j, h in enumerate(s.page_hashes):
+                self._prefix_index[h] = (sid, j + 1)
         # NOTE: rows were padded to the bucket; the garbage KV the padding
         # appended sits at positions >= prompt_len, and the next append for
         # this sequence starts exactly at prompt_len (cache_seqlens below),

@@ -508,3 +508,109 @@ def test_engine_streaming_callback():
     out = eng.run_to_completion()
     streamed = [t for r, ts in got for t in ts if r == rid]
     assert streamed == out[rid], (streamed, out[rid])
+
+
+def test_engine_prefix_cache_exact_reuse():
+    """A second request with the same prompt copies the live first request's
+    committed prompt pages and prefills only the suffix — greedy outputs
+    must be bit-identical to the uncached reference."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    eng = ServingEngine(params, cfg, max_batch=4, num_pages=32, page_size=8)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2]  # 2 full pages
+    r1 = eng.submit(prompt, max_new_tokens=12)
+    eng.step()                       # r1 prefills, pages commit
+    r2 = eng.submit(prompt, max_new_tokens=6)
+    results = eng.run_to_completion()
+    assert eng.metrics["prefix_hits"] == 1
+    assert eng.metrics["prefix_tokens_reused"] == 16   # 2 pages of 8
+    ref = _reference_generate(params, cfg, prompt, 12)
+    assert results[r1] == ref
+    assert results[r2] == ref[:6]
+
+
+def test_engine_prefix_cache_partial_prefix():
+    """Requests sharing only the first page reuse exactly that page."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    eng = ServingEngine(params, cfg, max_batch=4, num_pages=32, page_size=8)
+    base = [3, 1, 4, 1, 5, 9, 2, 6]                     # one full page
+    p1 = base + [5, 3, 5]
+    p2 = base + [9, 9, 1, 2]
+    r1 = eng.submit(p1, max_new_tokens=10)
+    eng.step()
+    r2 = eng.submit(p2, max_new_tokens=5)
+    results = eng.run_to_completion()
+    assert eng.metrics["prefix_hits"] == 1
+    assert eng.metrics["prefix_tokens_reused"] == 8
+    assert results[r1] == _reference_generate(params, cfg, p1, 10)
+    assert results[r2] == _reference_generate(params, cfg, p2, 5)
+
+
+def test_engine_prefix_cache_dead_source_rejected():
+    """A finished source's pages must not be reused (they are freed), and
+    disabling the cache produces identical outputs with zero hits."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    eng = ServingEngine(params, cfg, max_batch=2, num_pages=32, page_size=8)
+    r1 = eng.submit(prompt, max_new_tokens=2)
+    eng.run_to_completion()          # r1 finishes; its pages are freed
+    r2 = eng.submit(prompt, max_new_tokens=4)
+    out = eng.run_to_completion()
+    assert eng.metrics["prefix_hits"] == 0
+    off = ServingEngine(params, cfg, max_batch=2, num_pages=32, page_size=8,
+                        prefix_cache=False)
+    r3 = off.submit(prompt, max_new_tokens=4)
+    out_off = off.run_to_completion()
+    assert off.metrics["prefix_hits"] == 0
+    assert out[r2] == out_off[r3] == _reference_generate(params, cfg, prompt, 4)
+
+
+def test_engine_prefix_cache_int8_pool():
+    """Prefix page copy also moves the quantization scales."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2]
+    ref_eng = ServingEngine(params, cfg, max_batch=2, num_pages=32,
+                            page_size=8, kv_dtype=jnp.int8,
+                            prefix_cache=False)
+    rr = ref_eng.submit(prompt, max_new_tokens=6)
+    ref_out = ref_eng.run_to_completion()[rr]
+    eng = ServingEngine(params, cfg, max_batch=4, num_pages=32, page_size=8,
+                        kv_dtype=jnp.int8)
+    r1 = eng.submit(prompt, max_new_tokens=12)
+    eng.step()
+    r2 = eng.submit(prompt, max_new_tokens=6)
+    results = eng.run_to_completion()
+    assert eng.metrics["prefix_hits"] == 1
+    assert results[r2] == ref_out
+
+
+def test_engine_prefix_cache_seq_mesh_shard_offsets():
+    """Prefix page copies on a seq x model mesh must translate shard-local
+    page ids to physical page-axis indices (slot j lives on shard
+    j // slots_per_shard).  Prompt spans 3 full pages so the copy crosses
+    the slot range of shard 0 (slots 0-1) into shard 1 (slot 2)."""
+    from flash_attn_v100_tpu.models.transformer import param_shardings
+    from flash_attn_v100_tpu.parallel.mesh import make_mesh
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+
+    cfg, params = _make_model()   # max_seq_len 64 -> 8 pages of 8 per seq
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3,
+              2, 3, 8, 4, 6, 2, 6, 4, 3, 5]          # 3 full pages + 2
+    ref = _reference_generate(params, cfg, prompt, 8)
+
+    mesh = make_mesh(data=1, seq=4, model=2)
+    params_sp = jax.device_put(params, param_shardings(params, cfg, mesh))
+    eng = ServingEngine(params_sp, cfg, max_batch=4, num_pages=16,
+                        page_size=8, mesh=mesh)
+    assert eng.seq_shards == 4
+    r1 = eng.submit(prompt, max_new_tokens=8)
+    eng.step()                       # r1 prefills, pages commit
+    r2 = eng.submit(prompt, max_new_tokens=5)
+    results = eng.run_to_completion()
+    assert eng.metrics["prefix_hits"] == 1
+    assert eng.metrics["prefix_tokens_reused"] == 24   # 3 pages of 8
+    assert results[r1] == ref
+    assert results[r2] == ref[:5]
