@@ -210,6 +210,14 @@ class _Seq:
     # a preemption and its re-prefill)
     page_hashes: List[int] = dataclasses.field(default_factory=list)
     prefilled: bool = False
+    # chunked-prefill progress: tokens already appended to the cache, the
+    # page ids that hold them (continuation is valid only while these are
+    # unchanged — preemption reallocates them), and the step counter value
+    # of the last chunk (a gap in steps means the sequence left the batch,
+    # i.e. was preempted, so committed KV must be assumed lost)
+    prefill_committed: int = 0
+    chunk_page_ids: List[int] = dataclasses.field(default_factory=list)
+    last_chunk_step: int = -1
 
 
 class ServingEngine:
@@ -229,6 +237,7 @@ class ServingEngine:
                  eos_token_id: Optional[int] = None,
                  eos_check_interval: int = 8,
                  prefix_cache: bool = True,
+                 prefill_chunk: Optional[int] = None,
                  interpret: Optional[bool] = None):
         """`mesh`: a jax.sharding.Mesh for tensor-parallel decode — KV heads
         and their page pools shard over the "model" axis; `params` must
@@ -246,9 +255,17 @@ class ServingEngine:
         prefills only the suffix.  Compute reuse with storage duplication:
         the page copy (~100 us/0.5k tokens) replaces the prefix's prefill
         FLOPs (~ms) without refcounting pages across sequences, so the
-        scheduler/allocator and preemption semantics are untouched."""
+        scheduler/allocator and preemption semantics are untouched.
+        `prefill_chunk`: cap on prompt tokens prefilled per sequence per
+        step (None = whole prompt in one step).  A long prompt then spans
+        several steps — decode rows keep advancing every step and compiled
+        prefill shapes stop growing with prompt length, at the cost of the
+        chunked request's own TTFT.  Power-of-two chunks avoid re-bucketing."""
         if cfg.max_seq_len % page_size:
             raise ValueError("page_size must divide cfg.max_seq_len")
+        if prefill_chunk is not None and prefill_chunk < 1:
+            raise ValueError("prefill_chunk must be positive")
+        self.prefill_chunk = prefill_chunk
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
@@ -572,6 +589,19 @@ class ServingEngine:
         for sid in ids:
             self._materialize(self._seqs[sid])
             self._seqs[sid].prefilled = False
+        # chunked prefill: a continuation is valid only if the sequence was
+        # in the previous step's batch (running sequences always are; a gap
+        # means preemption) AND the pages holding its committed tokens are
+        # the ones it chunked into — otherwise the KV is gone, restart
+        step_no = self.metrics["steps"]
+        for sid in ids:
+            s = self._seqs[sid]
+            if s.prefill_committed:
+                k = len(s.chunk_page_ids)
+                if (s.last_chunk_step != step_no - 1
+                        or self.sched.pages_of(sid)[:k] != s.chunk_page_ids):
+                    s.prefill_committed = 0
+                    s.chunk_page_ids = []
         # prefix cache: rows whose prompt prefix is already committed in a
         # live sequence's pages copy that KV and prefill only the suffix
         cached = {sid: 0 for sid in ids}
@@ -590,6 +620,8 @@ class ServingEngine:
                 return off + page + 1           # +1: scratch page
             src_idx, dst_idx = [], []
             for sid in ids:
+                if self._seqs[sid].prefill_committed:
+                    continue            # mid-chunk: prefix already handled
                 src_pages, npg = self._prefix_lookup(sid, batch_set)
                 if npg:
                     dst_pages = self.sched.pages_of(sid)[:npg]
@@ -605,20 +637,30 @@ class ServingEngine:
                     self.k_pool, self.v_pool, self.k_scales, self.v_scales,
                     jnp.asarray(src_idx + [0] * pad, jnp.int32),
                     jnp.asarray(dst_idx + [0] * pad, jnp.int32))
-        seqs = [self._seqs[sid].prompt + self._seqs[sid].generated
-                for sid in ids]
-        suffixes = [s[cached[sid]:] for sid, s in zip(ids, seqs)]
-        lens = [len(s) for s in suffixes]
+        # spans: (sid, base, take, final) — this step appends tokens
+        # [base, base+take) of prompt+generated; only final rows (take
+        # reaches the end) sample a real next token
+        spans = []
+        for sid in ids:
+            s = self._seqs[sid]
+            full_len = len(s.prompt) + len(s.generated)
+            b = s.prefill_committed or cached[sid]
+            rem = full_len - b
+            take = rem if self.prefill_chunk is None else min(
+                rem, self.prefill_chunk)
+            spans.append((sid, b, take, take == rem))
+        lens = [t for _, _, t, _ in spans]
         # bucket to bound recompiles; cap at max_seq_len so padded append
         # positions never walk off a full block-table row
         T = min(self._bucket(max(lens)), self.cfg.max_seq_len)
         toks = np.zeros((self.max_batch, T), np.int32)
         last_idx = np.zeros((self.max_batch,), np.int32)
         cs = np.zeros((self.max_batch,), np.int32)  # append position
-        for row, (sid, s) in enumerate(zip(ids, suffixes)):
-            toks[row, :lens[row]] = s
-            last_idx[row] = lens[row] - 1   # sample at the last REAL position
-            cs[row] = cached[sid]
+        for row, (sid, b, take, _) in enumerate(spans):
+            s = self._seqs[sid]
+            toks[row, :take] = (s.prompt + s.generated)[b:b + take]
+            last_idx[row] = take - 1   # sample at the last REAL position
+            cs[row] = b
         temp, topk, topp = self._sampling_arrays(ids)
         (tok, self.k_pool, self.v_pool,
          self.k_scales, self.v_scales) = self._prefill_fn(
@@ -627,13 +669,23 @@ class ServingEngine:
             jnp.asarray(toks), jnp.asarray(cs),
             jnp.asarray(self._block_table(ids)), jnp.asarray(last_idx),
             self._next_key(), temp, topk, topp)
-        self._emit(ids, tok, finished, first=True)
+        self._emit(ids, tok, finished, first=True,
+                   emit=[fin for _, _, _, fin in spans])
         self.metrics["prefill_tokens"] += int(sum(lens))
-        for sid in ids:
+        ps = self.page_size
+        for sid, b, take, fin in spans:
             s = self._seqs[sid]
-            s.prefilled = True
-            for j, h in enumerate(s.page_hashes):
-                self._prefix_index[h] = (sid, j + 1)
+            if fin:
+                s.prefilled = True
+                s.prefill_committed = 0
+                s.chunk_page_ids = []
+                for j, h in enumerate(s.page_hashes):
+                    self._prefix_index[h] = (sid, j + 1)
+            else:
+                s.prefill_committed = b + take
+                s.chunk_page_ids = self.sched.pages_of(sid)[
+                    :-(-(b + take) // ps)]
+                s.last_chunk_step = step_no
         # NOTE: rows were padded to the bucket; the garbage KV the padding
         # appended sits at positions >= prompt_len, and the next append for
         # this sequence starts exactly at prompt_len (cache_seqlens below),
@@ -700,10 +752,14 @@ class ServingEngine:
         self._steady = (ids_t, counts, bt_dev, cs_next, (temp, topk, topp))
 
     def _emit(self, ids: List[int], tokens: np.ndarray, finished: List[int],
-              first: bool = False) -> None:
+              first: bool = False, emit: Optional[List[bool]] = None) -> None:
+        """`emit[row]=False` (mid-chunk prefill rows): the sampled token is
+        garbage by construction — no token is recorded or counted."""
         now = time.monotonic()
         self._prev_tok = tokens             # (max_batch,) device array
         for row, sid in enumerate(ids):
+            if emit is not None and not emit[row]:
+                continue
             s = self._seqs[sid]
             s.generated.append((tokens, row))   # lazy device token
             if first and s.first_token_at is None:

@@ -614,3 +614,88 @@ def test_engine_prefix_cache_seq_mesh_shard_offsets():
     assert eng.metrics["prefix_tokens_reused"] == 24   # 3 pages of 8
     assert results[r1] == ref
     assert results[r2] == ref[:5]
+
+
+def test_engine_chunked_prefill_matches_unchunked():
+    """prefill_chunk splits a long prompt across steps; greedy outputs are
+    bit-identical to the one-shot prefill engine."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    prompt = [((i * 7) % 60) + 1 for i in range(40)]
+    ref = _reference_generate(params, cfg, prompt, 6)
+    eng = ServingEngine(params, cfg, max_batch=4, num_pages=32, page_size=8,
+                        prefill_chunk=16)
+    rid = eng.submit(prompt, max_new_tokens=6)
+    out = eng.run_to_completion()
+    assert out[rid] == ref
+    # 40 tokens at 16/step = 3 prefill steps + 5 decode steps
+    assert eng.metrics["steps"] == 8
+    assert eng.metrics["prefill_tokens"] == 40
+
+
+def test_engine_chunked_prefill_interleaves_decode():
+    """While one request chunk-prefills, an already-running request keeps
+    decoding every step (the latency win chunking exists for)."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    p1 = [3, 1, 4, 1, 5]
+    p2 = [((i * 5) % 60) + 1 for i in range(32)]
+    eng = ServingEngine(params, cfg, max_batch=4, num_pages=32, page_size=8,
+                        prefill_chunk=8)
+    r1 = eng.submit(p1, max_new_tokens=12)
+    eng.step()                              # r1 prefills
+    r2 = eng.submit(p2, max_new_tokens=4)
+    n1_before = len(eng._seqs[r1].generated)
+    for _ in range(3):                      # r2's first 3 of 4 chunk steps
+        eng.step()
+    # r1 decoded once per chunk step
+    assert len(eng._seqs[r1].generated) == n1_before + 3
+    assert not eng._seqs[r2].generated      # r2 sampled nothing yet
+    out = eng.run_to_completion()
+    assert out[r1] == _reference_generate(params, cfg, p1, 12)
+    assert out[r2] == _reference_generate(params, cfg, p2, 4)
+
+
+def test_engine_chunked_prefill_preemption_restart():
+    """A sequence preempted mid-chunk loses its pages; on readmission it
+    must restart its prefill from scratch and still produce exact output."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    pa = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]          # 15 tokens
+    pb = [((i * 3) % 60) + 1 for i in range(40)]
+    # A chunks its 15-token prompt over steps 1-8 (chunk=2), then decodes;
+    # B (admitted step 2, 6 pages) chunks until ~step 21.  A's growth to a
+    # 4th page at 25 tokens (~step 17) finds 0 free pages and preempts B
+    # mid-chunk (committed ~30 of 40); B waits for A to finish, readmits,
+    # and must restart its prefill from scratch.
+    eng = ServingEngine(params, cfg, max_batch=4, num_pages=9, page_size=8,
+                        prefill_chunk=2)
+    ra = eng.submit(pa, max_new_tokens=20)
+    eng.step()
+    rb = eng.submit(pb, max_new_tokens=3)
+    out = eng.run_to_completion()
+    assert eng.sched.stats()["preemptions"] >= 1
+    assert out[ra] == _reference_generate(params, cfg, pa, 20)
+    assert out[rb] == _reference_generate(params, cfg, pb, 3)
+    # the restart re-prefilled B's committed chunk tokens
+    assert eng.metrics["prefill_tokens"] > len(pa) + len(pb)
+
+
+def test_engine_chunked_prefill_with_prefix_cache():
+    """Chunked prefill composes with the prefix cache: the second request
+    copies the committed prompt pages, then chunks only its suffix."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    prompt = [((i * 11) % 60) + 1 for i in range(33)]   # 4 full pages + 1
+    ref = _reference_generate(params, cfg, prompt, 6)
+    eng = ServingEngine(params, cfg, max_batch=4, num_pages=32, page_size=8,
+                        prefill_chunk=8)
+    r1 = eng.submit(prompt, max_new_tokens=6)
+    for _ in range(5):
+        eng.step()                          # r1: 5 chunk steps, now decoding
+    r2 = eng.submit(prompt, max_new_tokens=4)
+    out = eng.run_to_completion()
+    assert eng.metrics["prefix_hits"] == 1
+    assert eng.metrics["prefix_tokens_reused"] == 32
+    assert out[r1] == ref
+    assert out[r2] == ref[:4]
