@@ -207,30 +207,41 @@ def _decode_tile_update(q_ref, k_ref, ks_ref, v_ref, vs_ref,
         # int8 x int8 MXU path: quantize q rows in-register; k stays as
         # loaded.  S = (q8 k8^T) * q_scale_row * k_scale_col.
         q32 = q.astype(jnp.float32)
-        q_amax = jnp.max(jnp.abs(q32), axis=2, keepdims=True)  # (hb, rq, 1)
-        q_scale = jnp.where(q_amax == 0.0, 1.0, q_amax / 127.0)
-        q8 = jnp.round(q32 / q_scale).astype(jnp.int8)
         if int4:
             # Unpack-free int4 via the two AND ops Mosaic legalizes on
             # i8 vectors (shifts/mul/sub do not lower): byte & 15 is the
             # BIASED low nibble lo+8 and byte & -16 is 16*hi exactly
-            # (quant.py pack layout).  Split the matmul into the nibble
-            # halves — two D/2-deep int8 MXU calls — and fold the +8
-            # bias out as a per-row linear term (sum_d q_d * 8, one
-            # small reduction) and the 16x as a 1/16 on the score tile.
-            # No materialized (ps, D) unpack, no lane-axis concatenate.
-            D2 = q8.shape[2] // 2
-            q_lo, q_hi = q8[:, :, :D2], q8[:, :, D2:]
+            # (quant.py pack layout).  The halves are lane-concatenated
+            # back to a (ps, D) int8 tile and contracted in ONE D-deep
+            # MXU call — the earlier two-matmul form (K=D/2 each) padded
+            # both to the MXU's 128 contraction depth, doubling MXU
+            # passes and pinning int4 decode at ~36% of the roofline.
+            # The 16x on the hi half folds into q's quantization: q_hi
+            # is quantized at scale 16*s, with the shared per-row scale
+            # s sized to cover max(|q_lo|, |q_hi|/16) — the hi dims of q
+            # carry ~4 effective bits, a noise term below the int4
+            # cache's own amax/7 resolution.  The +8 low-nibble bias
+            # folds out as a per-row linear term (8 * sum_d q_lo8).
+            D2 = q32.shape[2] // 2
+            q_lo, q_hi = q32[:, :, :D2], q32[:, :, D2:]
+            amax = jnp.maximum(
+                jnp.max(jnp.abs(q_lo), axis=2, keepdims=True),
+                jnp.max(jnp.abs(q_hi), axis=2, keepdims=True) * (1.0 / 16.0))
+            q_scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+            q_lo8 = jnp.round(q_lo / q_scale).astype(jnp.int8)
+            q_hi8 = jnp.round(q_hi / (16.0 * q_scale)).astype(jnp.int8)
+            q8 = jnp.concatenate([q_lo8, q_hi8], axis=2)
+            kx = jnp.concatenate([k & jnp.int8(15), k & jnp.int8(-16)],
+                                 axis=2)
             st = jax.lax.dot_general(
-                q_lo, k & jnp.int8(15), (((2,), (2,)), ((0,), (0,))),
+                q8, kx, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
-            st = st - 8.0 * jnp.sum(q_lo.astype(jnp.float32), axis=2,
+            st = st - 8.0 * jnp.sum(q_lo8.astype(jnp.float32), axis=2,
                                     keepdims=True)
-            st = st + jax.lax.dot_general(
-                q_hi, k & jnp.int8(-16), (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32).astype(
-                    jnp.float32) * (1.0 / 16.0)
         else:
+            q_amax = jnp.max(jnp.abs(q32), axis=2, keepdims=True)
+            q_scale = jnp.where(q_amax == 0.0, 1.0, q_amax / 127.0)
+            q8 = jnp.round(q32 / q_scale).astype(jnp.int8)
             st = jax.lax.dot_general(
                 q8, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
@@ -292,19 +303,24 @@ def _decode_tile_update(q_ref, k_ref, ks_ref, v_ref, vs_ref,
         p_scale = jnp.where(p_amax == 0.0, 1.0, p_amax / 127.0)
         p8 = jnp.round(p / p_scale).astype(jnp.int8)
         if int4:
-            # nibble-split PV: same AND identities as QK; the bias term
-            # is sum_p p8_p * 8 per row (constant over the lo output
-            # columns) and the halves glue on the SMALL (hb, rq, D) f32
-            # tile instead of the streamed V tile
-            pv_lo = jax.lax.dot_general(
-                p8, v & jnp.int8(15), (((2,), (1,)), ((0,), (0,))),
+            # nibble-split PV: same AND identities as QK, halves
+            # lane-concatenated into one (ps, D) int8 tile so the MXU
+            # runs ONE ps-deep, D-wide pass (the two-matmul N=D/2 form
+            # half-filled the lanes, doubling passes).  Here the nibble
+            # split is along the OUTPUT axis, so the 16x and the +8
+            # bias correct exactly on the small (hb, rq, D) f32 tile:
+            # no precision trade at all, unlike the QK side.
+            vx = jnp.concatenate([v & jnp.int8(15), v & jnp.int8(-16)],
+                                 axis=2)
+            pv = jax.lax.dot_general(
+                p8, vx, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
-            pv_lo = pv_lo - 8.0 * jnp.sum(p8.astype(jnp.float32), axis=2,
-                                          keepdims=True)
-            pv_hi = jax.lax.dot_general(
-                p8, v & jnp.int8(-16), (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
-            pv = jnp.concatenate([pv_lo, pv_hi * (1.0 / 16.0)], axis=-1)
+            D2 = pv.shape[2] // 2
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * D2), 2)
+            is_lo = col < D2
+            pv = pv * jnp.where(is_lo, 1.0, 1.0 / 16.0)
+            pv = pv - jnp.where(is_lo, 8.0, 0.0) * jnp.sum(
+                p8.astype(jnp.float32), axis=2, keepdims=True)
         else:
             pv = jax.lax.dot_general(
                 p8, v, (((2,), (1,)), ((0,), (0,))),
