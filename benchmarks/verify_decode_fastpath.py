@@ -56,12 +56,12 @@ def run_case(name, *, causal=False, window=(-1, -1), leftpad=False,
     ksc = vsc = None
     if quant:
         qdt = jnp.int8 if quant == "int8" else quant
-        kq, ksc = quantize_kv(kuse, qdt)
-        vq, vsc = quantize_kv(vuse, qdt)
+        kq, ksc = quantize_kv(kuse, qdt, token_axis=1)   # NHD layouts
+        vq, vsc = quantize_kv(vuse, qdt, token_axis=1)
         i4 = quant == "int4"
         # oracle sees the dequantized cache
-        kc_o = dequantize_kv(kq, ksc, jnp.bfloat16, int4=i4)
-        vc_o = dequantize_kv(vq, vsc, jnp.bfloat16, int4=i4)
+        kc_o = dequantize_kv(kq, ksc, jnp.bfloat16, int4=i4, token_axis=1)
+        vc_o = dequantize_kv(vq, vsc, jnp.bfloat16, int4=i4, token_axis=1)
         if paged:
             ps = 256
             kc_o = kc_o[bt.reshape(-1)].reshape(B, N, Hk, D)

@@ -50,20 +50,22 @@ class PagedCache:
         return self.k_scales is not None
 
 
-def _payload(head_dim: int, dtype):
-    """(payload head dim, payload dtype, scales?) for a cache dtype.
-    dtype="int4" packs two values per int8 byte along head_dim."""
+def _payload(dtype):
+    """(token-dim divisor, payload dtype, scales?) for a cache dtype.
+    dtype="int4" packs two TOKENS per int8 byte (full head_dim payload,
+    half the token rows; scales stay per token)."""
     from flash_attn_v100_tpu.ops.quant import is_int4
     if is_int4(dtype):
-        return head_dim // 2, jnp.int8, True
-    return head_dim, dtype, dtype in (jnp.int8, jnp.float8_e4m3fn)
+        return 2, jnp.int8, True
+    return 1, dtype, dtype in (jnp.int8, jnp.float8_e4m3fn)
 
 
 def init_contiguous(batch: int, max_len: int, n_kv_heads: int, head_dim: int,
                     dtype=jnp.bfloat16) -> ContiguousCache:
-    d, dt, quant = _payload(head_dim, dtype)
-    shape = (batch, n_kv_heads, max_len, d)
-    scales = jnp.ones(shape[:-1] + (1,), jnp.float32) if quant else None
+    div, dt, quant = _payload(dtype)
+    shape = (batch, n_kv_heads, max_len // div, head_dim)
+    scales = (jnp.ones((batch, n_kv_heads, max_len, 1), jnp.float32)
+              if quant else None)
     return ContiguousCache(
         k=jnp.zeros(shape, dt), v=jnp.zeros(shape, dt),
         k_scales=scales, v_scales=scales)
@@ -71,9 +73,10 @@ def init_contiguous(batch: int, max_len: int, n_kv_heads: int, head_dim: int,
 
 def init_paged(num_pages: int, page_size: int, n_kv_heads: int, head_dim: int,
                dtype=jnp.bfloat16) -> PagedCache:
-    d, dt, quant = _payload(head_dim, dtype)
-    shape = (n_kv_heads, num_pages, page_size, d)
-    scales = jnp.ones(shape[:-1] + (1,), jnp.float32) if quant else None
+    div, dt, quant = _payload(dtype)
+    shape = (n_kv_heads, num_pages, page_size // div, head_dim)
+    scales = (jnp.ones((n_kv_heads, num_pages, page_size, 1), jnp.float32)
+              if quant else None)
     return PagedCache(
         k=jnp.zeros(shape, dt), v=jnp.zeros(shape, dt),
         page_size=page_size, k_scales=scales, v_scales=scales)

@@ -49,6 +49,58 @@ def _pick_page_size(N: int) -> int:
     return N
 
 
+def _int4_nibble_parts(vals: jnp.ndarray, parity: jnp.ndarray):
+    """(contribution, keep-mask) int8 pair for merging int4 values into
+    their nibble of a token-packed cache byte (quant.py layout: even token
+    = low nibble BIASED +8, odd token = high nibble two's complement)."""
+    v32 = vals.astype(jnp.int32)
+    contrib = jnp.where(parity == 0, (v32 + 8) & 0xF,
+                        (v32 & 0xF) << 4).astype(jnp.int8)
+    keep = jnp.where(parity == 0, jnp.int8(-16), jnp.int8(15))
+    return contrib, keep
+
+
+def _int4_rmw_paged(pool, vals, page_ids, off):
+    """Merge int4 values (B, T, Hk, D) into a token-packed paged pool
+    (Hk, P, page_size/2, D) at page page_ids[b, t], token offset off[b, t].
+
+    Two sequential scatter rounds (even token offsets, then odd) so a pair
+    of new tokens sharing a byte never duplicate scatter indices: within a
+    round all byte slots are distinct, and the odd round's gather sees the
+    even round's writes.  Out-of-range page ids (set huge by the caller for
+    shard-window drops) are clamped for the gather and dropped by the
+    scatter."""
+    Hk = pool.shape[0]
+    h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, None, :]
+    br = (off // 2)[..., None]                    # (B, T, 1) byte row
+    parity = off % 2                              # (B, T)
+    contrib, keep = _int4_nibble_parts(vals, parity[..., None, None])
+    pid_g = jnp.clip(page_ids, 0, pool.shape[1] - 1)[..., None]
+    for p in (0, 1):
+        old = pool[h_ix, pid_g, br]               # (B, T, Hk, D)
+        new = (old & keep) | contrib
+        pid_w = jnp.where(parity == p, page_ids, jnp.int32(2 ** 30))
+        pool = pool.at[h_ix, pid_w[..., None], br].set(new, mode="drop")
+    return pool
+
+
+def _int4_rmw_contig(pool, vals, b_ix, rows):
+    """Contiguous-cache analog of _int4_rmw_paged: pool (Bc, Hk, N/2, D),
+    vals (B, Hk, T, D) int4 values, rows (B, T) absolute token indices."""
+    Hk = pool.shape[1]
+    h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, :, None]
+    br = rows // 2
+    parity = (rows % 2)[:, None, :, None]         # (B, 1, T, 1)
+    contrib, keep = _int4_nibble_parts(vals, parity)
+    br_g = jnp.clip(br, 0, pool.shape[2] - 1)[:, None, :]
+    for p in (0, 1):
+        old = pool[b_ix, h_ix, br_g]              # (B, Hk, T, D)
+        new = (old & keep) | contrib
+        br_w = jnp.where(rows % 2 == p, br, jnp.int32(2 ** 30))
+        pool = pool.at[b_ix, h_ix, br_w[:, None, :]].set(new, mode="drop")
+    return pool
+
+
 def flash_attn_with_kvcache(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,
@@ -80,10 +132,11 @@ def flash_attn_with_kvcache(
     """See module docstring.  `k_scales`/`v_scales` (same layout as the
     caches, head_dim axis collapsed to 1) mark the caches as INT8/FP8
     quantized; appended k/v are quantized on the fly and the kernel
-    dequantizes in-tile (ops/quant.py).  An int8 cache whose head_dim is
-    HALF of q's is treated as packed INT4 (quantize_kv(x, "int4") layout:
-    dims (d, d + D/2) share a byte).  Returns updated scales inside the
-    cache tuple: (k_cache, v_cache, k_scales, v_scales)."""
+    dequantizes in-tile (ops/quant.py).  An int8 cache whose TOKEN dim is
+    HALF of its scales' is treated as packed INT4 (quantize_kv(x, "int4")
+    layout: tokens (2t, 2t+1) share byte row t of the full head_dim).
+    Returns updated scales inside the cache tuple:
+    (k_cache, v_cache, k_scales, v_scales)."""
     B, T_new, Hq, D_og = q.shape
     paged = block_table is not None
     if paged and cache_batch_idx is not None:
@@ -128,19 +181,21 @@ def flash_attn_with_kvcache(
     if not quantized:
         ksc = vsc = None
 
+    # packed-int4 cache: payload packs two TOKENS per byte row (quant.py
+    # layout) — detected by the scales' token dim being twice the payload's
+    int4 = (quantized and kc.dtype == jnp.int8
+            and ksc.shape[-2] == 2 * kc.shape[-2])
     if paged:
-        Hk, P, page_size, D = kc.shape
+        Hk, P, kv_rows, D = kc.shape
+        page_size = 2 * kv_rows if int4 else kv_rows
         N_capacity = block_table.shape[1] * page_size
     else:
-        Bc, Hk, N, D = kc.shape
+        Bc, Hk, kv_rows, D = kc.shape
+        N = 2 * kv_rows if int4 else kv_rows
         page_size = _pick_page_size(N)
         N_capacity = N
-    # packed-int4 cache: payload last dim is D/2 bytes (ops/quant.py layout)
-    int4 = quantized and kc.dtype == jnp.int8 and D * 2 == D_og
     Dk = D                      # payload (streamed) head dim
-    if int4:
-        D = D_og
-    assert D == D_og, "cache head dim must match q (or D/2 packed int4)"
+    assert D == D_og, "cache head dim must match q"
     group = Hq // Hk
 
     # ---- cache_seqlens normalization (reference: interface.py:355-358) ----
@@ -173,11 +228,17 @@ def flash_attn_with_kvcache(
     # ---- append new k/v (functional; in-place under donation) ----
     appended = k is not None
     if appended and quantized:
-        from flash_attn_v100_tpu.ops.quant import quantize_kv
-        # quantize after rotary, per (token, head)
-        qdt = "int4" if int4 else kc.dtype
-        k_q, k_s = quantize_kv(k, qdt)
-        v_q, v_s = quantize_kv(v, qdt)
+        from flash_attn_v100_tpu.ops.quant import (
+            quantize_kv, quantize_int4_values)
+        # quantize after rotary, per (token, head).  int4 stays UNPACKED
+        # here: each new token merges into its nibble of the shared cache
+        # byte below (the partner nibble may already be live)
+        if int4:
+            k_q, k_s = quantize_int4_values(k)
+            v_q, v_s = quantize_int4_values(v)
+        else:
+            k_q, k_s = quantize_kv(k, kc.dtype)
+            v_q, v_s = quantize_kv(v, kc.dtype)
     scatter_mode = "drop" if append_window is not None else None
     if appended:
         pos = qlens[:, None] + jnp.arange(T_new, dtype=jnp.int32)  # (B,T)
@@ -196,10 +257,14 @@ def flash_attn_with_kvcache(
             off = pos % page_size
             h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, None, :]
             if quantized:
-                kc = kc.at[h_ix, page_ids[..., None], off[..., None]].set(
-                    k_q, mode=scatter_mode)
-                vc = vc.at[h_ix, page_ids[..., None], off[..., None]].set(
-                    v_q, mode=scatter_mode)
+                if int4:
+                    kc = _int4_rmw_paged(kc, k_q, page_ids, off)
+                    vc = _int4_rmw_paged(vc, v_q, page_ids, off)
+                else:
+                    kc = kc.at[h_ix, page_ids[..., None], off[..., None]].set(
+                        k_q, mode=scatter_mode)
+                    vc = vc.at[h_ix, page_ids[..., None], off[..., None]].set(
+                        v_q, mode=scatter_mode)
                 ksc = ksc.at[h_ix, page_ids[..., None], off[..., None]].set(
                     k_s, mode=scatter_mode)
                 vsc = vsc.at[h_ix, page_ids[..., None], off[..., None]].set(
@@ -217,10 +282,16 @@ def flash_attn_with_kvcache(
             b_ix = bidx[:, None, None]
             h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, :, None]
             if quantized:
-                kc = kc.at[b_ix, h_ix, rows[:, None, :]].set(
-                    jnp.swapaxes(k_q, 1, 2), mode=scatter_mode)
-                vc = vc.at[b_ix, h_ix, rows[:, None, :]].set(
-                    jnp.swapaxes(v_q, 1, 2), mode=scatter_mode)
+                if int4:
+                    kc = _int4_rmw_contig(kc, jnp.swapaxes(k_q, 1, 2),
+                                          b_ix, rows)
+                    vc = _int4_rmw_contig(vc, jnp.swapaxes(v_q, 1, 2),
+                                          b_ix, rows)
+                else:
+                    kc = kc.at[b_ix, h_ix, rows[:, None, :]].set(
+                        jnp.swapaxes(k_q, 1, 2), mode=scatter_mode)
+                    vc = vc.at[b_ix, h_ix, rows[:, None, :]].set(
+                        jnp.swapaxes(v_q, 1, 2), mode=scatter_mode)
                 ksc = ksc.at[b_ix, h_ix, rows[:, None, :]].set(
                     jnp.swapaxes(k_s, 1, 2), mode=scatter_mode)
                 vsc = vsc.at[b_ix, h_ix, rows[:, None, :]].set(
@@ -247,8 +318,9 @@ def flash_attn_with_kvcache(
         C2 = P
     else:
         nb = N // page_size
-        pool_k = kc.reshape(Bc, Hk, nb, page_size, Dk)
-        pool_v = vc.reshape(Bc, Hk, nb, page_size, Dk)
+        rows_pp = page_size // 2 if int4 else page_size  # payload rows/page
+        pool_k = kc.reshape(Bc, Hk, nb, rows_pp, Dk)
+        pool_v = vc.reshape(Bc, Hk, nb, rows_pp, Dk)
         if quantized:
             pool_ks = ksc.reshape(Bc, Hk, nb, page_size, 1)
             pool_vs = vsc.reshape(Bc, Hk, nb, page_size, 1)

@@ -36,14 +36,22 @@ Design (TPU-first):
     dequant of the streamed tile); scales fold into the (rq, ps) score tile.
     The PV matmul dequantizes P's columns by V's scales and feeds the MXU in
     the compute dtype.  FP8 dequantizes at the tile boundary.
-  * INT4 cache: the pool stores two 4-bit values per byte along head_dim
-    (ops/quant.py layout: dims (d, d + D/2) share a byte; low nibble biased
-    +8), streaming HALF the int8 bytes.  The kernel never materializes an
-    unpack: Mosaic legalizes only bitwise AND on i8 vectors (not shifts),
-    so each matmul splits into nibble halves — byte & 15 (= lo + 8) and
-    byte & -16 (= 16 * hi) feed two D/2-deep int8 MXU calls, with the +8
-    bias folded out as a per-row linear term and the 16x as a (1/16) on the
-    small score/output tiles.  Cost over int8: two ANDs per streamed byte.
+  * INT4 cache: the pool stores two 4-bit values per byte along the TOKEN
+    axis (ops/quant.py layout: tokens (2t, 2t+1) share byte (t, d); low
+    nibble biased +8), streaming HALF the int8 bytes as full-lane
+    (page_size/2, D) tiles.  The kernel never materializes an unpack:
+    Mosaic legalizes only bitwise AND on i8 vectors (not shifts), so
+    `byte & 15` (= even + 8) and `byte & -16` (= 16 * odd) are each a
+    COMPLETE half-page K/V operand.  QK^T runs as two full-D-deep int8 MXU
+    calls producing the even- and odd-token score halves (lane-concatenated
+    on the small score tile to [evens | odds] order); PV as two
+    (page_size/2)-deep calls.  Total MXU work equals int8's; the +8 bias
+    and the 16x fold out as linear corrections on the small tiles.  The
+    wrapper permutes the token-ordered scales to the same split order per
+    page.  An earlier head_dim-packed layout made 64-lane payload tiles
+    whose halves had to be lane-concatenated back to (page_size, D) before
+    every matmul — that relayout of the full streamed tile pinned int4 at
+    ~36% of its roofline.
 """
 
 from __future__ import annotations
@@ -135,17 +143,17 @@ def _decode_kernel(
         lse_ref[0, :, 0] = lse.astype(jnp.float32)
 
 
-def _unpack4(t):
-    """(…, D/2) packed-int4 bytes -> (…, D) int8 values in [-8, 7].
+def _unpack4_split(t):
+    """(…, ps/2, D) packed-int4 bytes -> (…, ps, D) f32 values in SPLIT
+    token order [evens | odds] along the token axis.
 
     Float-path fallback only (the int8-MXU path never materializes the
-    unpack — see the int4 branches below).  Layout: ops/quant.py pack_int4
-    — low nibble = dim d BIASED +8, high nibble = dim d + D/2 two's
-    complement."""
-    p = t.astype(jnp.int32)
-    lo = ((p & 0xF) - 8).astype(jnp.int8)
-    hi = ((p << 24) >> 28).astype(jnp.int8)
-    return jnp.concatenate([lo, hi], axis=-1)
+    unpack — see the int4 branches below).  Layout: ops/quant.py
+    pack_int4_tokens — low nibble = even token BIASED +8, high nibble =
+    odd token two's complement."""
+    lo = (t & jnp.int8(15)).astype(jnp.float32) - 8.0     # even tokens
+    hi = (t & jnp.int8(-16)).astype(jnp.float32) * (1.0 / 16.0)  # odd
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def _decode_page_update(run, q_ref, k_ref, ks_ref, v_ref, vs_ref,
@@ -200,48 +208,37 @@ def _decode_tile_update(q_ref, k_ref, ks_ref, v_ref, vs_ref,
                         group, rq, page_size, quantized, int8_qk, int4):
     has_alibi = params.has_alibi
     q = q_ref[0]                   # (hb, rq, D)
-    k = k_ref[0, :, 0]             # (hb, ps, D)  [D/2 bytes when int4]
+    k = k_ref[0, :, 0]             # (hb, ps, D)  [(hb, ps/2, D) bytes: int4]
     if int4 and not int8_qk:
-        k = _unpack4(k)
+        k = _unpack4_split(k)      # (hb, ps, D) f32, [evens | odds] order
     if quantized and int8_qk:
         # int8 x int8 MXU path: quantize q rows in-register; k stays as
         # loaded.  S = (q8 k8^T) * q_scale_row * k_scale_col.
         q32 = q.astype(jnp.float32)
+        q_amax = jnp.max(jnp.abs(q32), axis=2, keepdims=True)
+        q_scale = jnp.where(q_amax == 0.0, 1.0, q_amax / 127.0)
+        q8 = jnp.round(q32 / q_scale).astype(jnp.int8)
         if int4:
-            # Unpack-free int4 via the two AND ops Mosaic legalizes on
-            # i8 vectors (shifts/mul/sub do not lower): byte & 15 is the
-            # BIASED low nibble lo+8 and byte & -16 is 16*hi exactly
-            # (quant.py pack layout).  The halves are lane-concatenated
-            # back to a (ps, D) int8 tile and contracted in ONE D-deep
-            # MXU call — the earlier two-matmul form (K=D/2 each) padded
-            # both to the MXU's 128 contraction depth, doubling MXU
-            # passes and pinning int4 decode at ~36% of the roofline.
-            # The 16x on the hi half folds into q's quantization: q_hi
-            # is quantized at scale 16*s, with the shared per-row scale
-            # s sized to cover max(|q_lo|, |q_hi|/16) — the hi dims of q
-            # carry ~4 effective bits, a noise term below the int4
-            # cache's own amax/7 resolution.  The +8 low-nibble bias
-            # folds out as a per-row linear term (8 * sum_d q_lo8).
-            D2 = q32.shape[2] // 2
-            q_lo, q_hi = q32[:, :, :D2], q32[:, :, D2:]
-            amax = jnp.maximum(
-                jnp.max(jnp.abs(q_lo), axis=2, keepdims=True),
-                jnp.max(jnp.abs(q_hi), axis=2, keepdims=True) * (1.0 / 16.0))
-            q_scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
-            q_lo8 = jnp.round(q_lo / q_scale).astype(jnp.int8)
-            q_hi8 = jnp.round(q_hi / (16.0 * q_scale)).astype(jnp.int8)
-            q8 = jnp.concatenate([q_lo8, q_hi8], axis=2)
-            kx = jnp.concatenate([k & jnp.int8(15), k & jnp.int8(-16)],
-                                 axis=2)
-            st = jax.lax.dot_general(
-                q8, kx, (((2,), (2,)), ((0,), (0,))),
+            # Token-packed nibbles (quant.py layout): `k & 15` is the
+            # BIASED even-token half-page (+8) and `k & -16` is exactly
+            # 16x the odd-token half-page — two AND ops (the only i8
+            # bitwise op Mosaic legalizes) on full-lane (ps/2, D) tiles,
+            # each a COMPLETE K operand.  Two full-D-deep int8 MXU calls
+            # produce the even/odd score halves (same total MXU work as
+            # int8's single call); the +8 bias is a per-q-row linear
+            # term on the even half and the 16x a (1/16) on the odd
+            # half, both folded on the small (hb, rq, ps/2) tiles before
+            # the lane-concat to [evens | odds] score order.
+            st_e = jax.lax.dot_general(
+                q8, k & jnp.int8(15), (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
-            st = st - 8.0 * jnp.sum(q_lo8.astype(jnp.float32), axis=2,
-                                    keepdims=True)
+            st_o = jax.lax.dot_general(
+                q8, k & jnp.int8(-16), (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            sum_q8 = jnp.sum(q8.astype(jnp.float32), axis=2, keepdims=True)
+            st = jnp.concatenate(
+                [st_e - 8.0 * sum_q8, st_o * (1.0 / 16.0)], axis=2)
         else:
-            q_amax = jnp.max(jnp.abs(q32), axis=2, keepdims=True)
-            q_scale = jnp.where(q_amax == 0.0, 1.0, q_amax / 127.0)
-            q8 = jnp.round(q32 / q_scale).astype(jnp.int8)
             st = jax.lax.dot_general(
                 q8, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
@@ -250,16 +247,23 @@ def _decode_tile_update(q_ref, k_ref, ks_ref, v_ref, vs_ref,
     else:
         if quantized:
             k = k.astype(q.dtype)
-        st = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+        st = jax.lax.dot_general(q, k.astype(q.dtype),
+                                 (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         if quantized:
             st = st * ks_ref[0, :, 0].astype(jnp.float32)
 
     st = st * softmax_scale
     if masked:
-        # logical kv position of each column (0 = first live cache row)
-        jl = (jax.lax.broadcasted_iota(jnp.int32, (1, rq, page_size), 2)
-              + j_start - lp)
+        # logical kv position of each column (0 = first live cache row).
+        # int4 score columns are in split order: col c is token 2c for
+        # c < ps/2 and token 2(c - ps/2) + 1 = 2c - ps + 1 after — online
+        # softmax is column-order-invariant, so only this map changes.
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, rq, page_size), 2)
+        if int4:
+            ps2 = page_size // 2
+            col = jnp.where(col < ps2, 2 * col, 2 * col - page_size + 1)
+        jl = col + j_start - lp
         # q-row -> (g, t): position of the token within the sequence
         r = jax.lax.broadcasted_iota(jnp.int32, (1, rq, page_size), 1)
         t = r % t_new if t_new > 1 else jnp.zeros_like(r)
@@ -292,7 +296,7 @@ def _decode_tile_update(q_ref, k_ref, ks_ref, v_ref, vs_ref,
 
     v = v_ref[0, :, 0]                                    # (hb, ps, D)
     if int4 and not int8_qk:
-        v = _unpack4(v)
+        v = _unpack4_split(v)      # (hb, ps, D) f32, split token order
     if quantized and int8_qk:
         # int8 x int8 PV: fold V's dequant scales into P's columns
         # ((hb, rq, ps) work), then quantize P per row — the streamed
@@ -303,24 +307,23 @@ def _decode_tile_update(q_ref, k_ref, ks_ref, v_ref, vs_ref,
         p_scale = jnp.where(p_amax == 0.0, 1.0, p_amax / 127.0)
         p8 = jnp.round(p / p_scale).astype(jnp.int8)
         if int4:
-            # nibble-split PV: same AND identities as QK, halves
-            # lane-concatenated into one (ps, D) int8 tile so the MXU
-            # runs ONE ps-deep, D-wide pass (the two-matmul N=D/2 form
-            # half-filled the lanes, doubling passes).  Here the nibble
-            # split is along the OUTPUT axis, so the 16x and the +8
-            # bias correct exactly on the small (hb, rq, D) f32 tile:
-            # no precision trade at all, unlike the QK side.
-            vx = jnp.concatenate([v & jnp.int8(15), v & jnp.int8(-16)],
-                                 axis=2)
-            pv = jax.lax.dot_general(
-                p8, vx, (((2,), (1,)), ((0,), (0,))),
+            # Token-packed nibble PV: p's column halves [evens | odds]
+            # line up with the AND halves of the streamed (ps/2, D) byte
+            # tile, so PV is two (ps/2)-deep int8 MXU calls (same total
+            # work as int8's one ps-deep call).  The +8 bias of the even
+            # half (- 8 * rowsum(p8_even)) and the odd half's 16x
+            # correct exactly on the small (hb, rq, D) f32 tiles.
+            ps2 = page_size // 2
+            p8_e, p8_o = p8[:, :, :ps2], p8[:, :, ps2:]
+            pv_e = jax.lax.dot_general(
+                p8_e, v & jnp.int8(15), (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
-            D2 = pv.shape[2] // 2
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * D2), 2)
-            is_lo = col < D2
-            pv = pv * jnp.where(is_lo, 1.0, 1.0 / 16.0)
-            pv = pv - jnp.where(is_lo, 8.0, 0.0) * jnp.sum(
-                p8.astype(jnp.float32), axis=2, keepdims=True)
+            pv_o = jax.lax.dot_general(
+                p8_o, v & jnp.int8(-16), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            pv = (pv_e - 8.0 * jnp.sum(p8_e.astype(jnp.float32), axis=2,
+                                       keepdims=True)
+                  + pv_o * (1.0 / 16.0))
         else:
             pv = jax.lax.dot_general(
                 p8, v, (((2,), (1,)), ((0,), (0,))),
@@ -405,21 +408,24 @@ def paged_decode_attention(
              lse_part (B, Hk, S, Rq, 1) fp32) — merge with `merge_partials`.
     """
     B, Hk, Rq, D = q_rows.shape
-    C1, _, C2, page_size, Dk = k_pages.shape
+    C1, _, C2, kv_rows, Dk = k_pages.shape
+    # int4 pools pack two TOKENS per byte (quant.py layout): the payload
+    # holds page_size/2 byte rows of the full head_dim
+    page_size = 2 * kv_rows if int4 else kv_rows
     max_pages = block_table.shape[1]
     if interpret is None:
         interpret = use_interpret()
     quantized = k_scales is not None
     if int4:
-        assert quantized and k_pages.dtype == jnp.int8 and Dk * 2 == D, (
-            "int4 caches are packed int8 with last dim D/2")
+        assert quantized and k_pages.dtype == jnp.int8 and Dk == D, (
+            "int4 caches are packed int8 with page_size/2 token rows")
     int8_qk = quantized and k_pages.dtype == jnp.int8
     if int8_matmul is not None:
         int8_qk = int8_qk and int8_matmul
     if out_dtype is None:
         out_dtype = jnp.float32
 
-    hb = _pick_head_block(Hk, page_size, D, k_pages.dtype.itemsize, Rq,
+    hb = _pick_head_block(Hk, kv_rows, D, k_pages.dtype.itemsize, Rq,
                           d_kv=Dk)
     nhb = Hk // hb
 
@@ -437,7 +443,7 @@ def paged_decode_attention(
     # ~1 MB of streamed KV per step.
     U = kv_unroll if kv_unroll else 1
     if kv_unroll is None:
-        per_page = 2 * hb * page_size * Dk * k_pages.dtype.itemsize
+        per_page = 2 * hb * kv_rows * Dk * k_pages.dtype.itemsize
         # cap at 4 streams: measured on v5e, U=8 at tiny (64-token) pages is
         # WORSE than U=2-4 (per-stream DMA bookkeeping overtakes the saved
         # fixed step cost)
@@ -476,14 +482,23 @@ def paged_decode_attention(
         # relayout inside the kernel would dominate the whole tile cost
         ks_r = k_scales.reshape(k_scales.shape[:3] + (1, page_size))
         vs_r = v_scales.reshape(v_scales.shape[:3] + (1, page_size))
+        if int4:
+            # permute token-ordered scales to the kernel's [evens | odds]
+            # score-column order per page (scales are ~3% of the payload
+            # bytes; this XLA reorder is off the kernel's critical path)
+            def _split_order(s):
+                s2 = s.reshape(s.shape[:3] + (1, kv_rows, 2))
+                return jnp.swapaxes(s2, -1, -2).reshape(s.shape)
+            ks_r = _split_order(ks_r)
+            vs_r = _split_order(vs_r)
     for u in range(U):
         km = kmap_u(u)
-        in_specs.append(pl.BlockSpec((1, hb, 1, page_size, Dk), km))
+        in_specs.append(pl.BlockSpec((1, hb, 1, kv_rows, Dk), km))
         inputs.append(k_pages)
         if quantized:
             in_specs.append(pl.BlockSpec((1, hb, 1, 1, page_size), km))
             inputs.append(ks_r)
-        in_specs.append(pl.BlockSpec((1, hb, 1, page_size, Dk), km))
+        in_specs.append(pl.BlockSpec((1, hb, 1, kv_rows, Dk), km))
         inputs.append(v_pages)
         if quantized:
             in_specs.append(pl.BlockSpec((1, hb, 1, 1, page_size), km))

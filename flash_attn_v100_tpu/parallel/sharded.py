@@ -147,12 +147,17 @@ def flash_attn_with_kvcache_sharded(
         softmax_scale = D ** -0.5
     appended = k is not None
     lens = jnp.asarray(cache_seqlens, jnp.int32)
+    # int4 pools pack two tokens per byte row (quant.py layout): the
+    # payload token dim is HALF the scales' — sizes below are in TOKENS
+    int4 = (quantized and k_cache.dtype == jnp.int8
+            and k_scales.shape[2] == 2 * k_cache.shape[2])
+    tok_mul = 2 if int4 else 1
     if paged:
-        page_size = k_cache.shape[2]
+        page_size = tok_mul * k_cache.shape[2]
         mp_local = block_table.shape[1] // sp
         N_shard = mp_local * page_size
     else:
-        N_shard = k_cache.shape[2] // sp
+        N_shard = tok_mul * k_cache.shape[2] // sp
 
     # rotary runs replicated OUTSIDE the shard_map: positions are global and
     # the (B, T_new) work is negligible next to streaming the cache shards

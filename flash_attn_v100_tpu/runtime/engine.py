@@ -244,7 +244,7 @@ class ServingEngine:
         already be placed with `models.transformer.param_shardings`.
         `kv_dtype`: jnp.int8 / jnp.float8_e4m3fn / "int4" for a quantized
         page pool (1/2 / 1/2 / 1/4 the HBM per token; appended KV quantizes
-        on the fly; "int4" packs two values per byte along head_dim).
+        on the fly; "int4" packs two TOKENS per byte along the page axis).
         `eos_token_id`: stop sequences at this token; checked every
         `eos_check_interval` steps with one batched device fetch, so a
         sequence may run up to interval-1 tokens past its EOS before being
@@ -298,16 +298,19 @@ class ServingEngine:
                                use_native=use_native, num_shards=sp,
                                slots_per_shard=self.max_pages_per_seq // sp
                                if sp > 1 else 2**31 - 1)
-        pool_d = cfg.head_dim // 2 if self.kv_int4 else cfg.head_dim
+        # int4 pools pack two TOKENS per byte (quant.py layout): half the
+        # page rows at the full head_dim; scales stay per token
+        pool_rows = page_size // 2 if self.kv_int4 else page_size
         pool_dt = jnp.int8 if self.kv_int4 else kv_dtype
         pool_shape = (cfg.n_layers, cfg.n_kv_heads, sp * (num_pages + 1),
-                      page_size, pool_d)
+                      pool_rows, cfg.head_dim)
         self.k_pool = jnp.zeros(pool_shape, pool_dt)
         self.v_pool = jnp.zeros(pool_shape, pool_dt)
         self.k_scales = self.v_scales = None
         if self.quantized:
-            self.k_scales = jnp.ones(pool_shape[:-1] + (1,), jnp.float32)
-            self.v_scales = jnp.ones(pool_shape[:-1] + (1,), jnp.float32)
+            sc_shape = pool_shape[:3] + (page_size, 1)
+            self.k_scales = jnp.ones(sc_shape, jnp.float32)
+            self.v_scales = jnp.ones(sc_shape, jnp.float32)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from flash_attn_v100_tpu.parallel.mesh import MODEL_AXIS, SEQ_AXIS

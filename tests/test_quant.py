@@ -29,21 +29,23 @@ def test_quantize_roundtrip(rng, qdtype):
 
 
 def test_quantize_roundtrip_int4(rng):
-    x = mk(rng, 4, 64, 2, 64, dtype=jnp.float32)
+    x = mk(rng, 4, 2, 64, 64, dtype=jnp.float32)    # (B, H, N, D) head-major
     q, s = quantize_kv(x, "int4")
-    # packed: two 4-bit values per int8 byte along head_dim
-    assert q.dtype == jnp.int8 and q.shape == (4, 64, 2, 32)
-    assert s.shape == (4, 64, 2, 1)
+    # packed: two TOKENS per int8 byte along the token axis (full head_dim)
+    assert q.dtype == jnp.int8 and q.shape == (4, 2, 32, 64)
+    assert s.shape == (4, 2, 64, 1)
     back = dequantize_kv(q, s, jnp.float32, int4=True)
     err = max_abs_err(back, x)
     bound = float(jnp.max(jnp.abs(x))) / 10   # qmax 7 -> rel err ~ amax/14
     assert err < bound, (err, bound)
-    # nibble layout contract: byte d = dim d | dim d+D/2 << 4
+    # nibble layout contract: byte (t, d) = token 2t dim d | token 2t+1 << 4
     from flash_attn_v100_tpu.ops.quant import unpack_int4
     lo, hi = unpack_int4(q)
     y = jnp.round(x / s).clip(-8, 7)
-    assert jnp.array_equal(lo.astype(jnp.int32), y[..., :32].astype(jnp.int32))
-    assert jnp.array_equal(hi.astype(jnp.int32), y[..., 32:].astype(jnp.int32))
+    assert jnp.array_equal(lo.astype(jnp.int32),
+                           y[..., 0::2, :].astype(jnp.int32))
+    assert jnp.array_equal(hi.astype(jnp.int32),
+                           y[..., 1::2, :].astype(jnp.int32))
 
 
 @pytest.mark.parametrize("qdtype", [jnp.int8, jnp.float8_e4m3fn, "int4"])
@@ -51,8 +53,8 @@ def test_quantized_decode(rng, qdtype):
     B, T, Hq, Hk, D, N = 2, 1, 4, 2, 64, 256
     q = mk(rng, B, T, Hq, D)
     kc_f, vc_f = mk(rng, B, N, Hk, D), mk(rng, B, N, Hk, D)
-    kq, ks = quantize_kv(kc_f, qdtype)
-    vq, vs = quantize_kv(vc_f, qdtype)
+    kq, ks = quantize_kv(kc_f, qdtype, token_axis=1)   # NHD: token axis 1
+    vq, vs = quantize_kv(vc_f, qdtype, token_axis=1)
     cs = jnp.asarray([200, 117], jnp.int32)
     out = flash_attn_with_kvcache(q, kq, vq, cache_seqlens=cs, causal=True,
                                   k_scales=ks, v_scales=vs)
@@ -74,10 +76,10 @@ def test_quantized_decode_append(rng, qdtype):
     B, T, Hq, Hk, D, N = 2, 1, 2, 2, 64, 128
     q = mk(rng, B, T, Hq, D)
     kc_f, vc_f = mk(rng, B, N, Hk, D), mk(rng, B, N, Hk, D)
-    kq, ks = quantize_kv(kc_f, qdtype)
-    vq, vs = quantize_kv(vc_f, qdtype)
+    kq, ks = quantize_kv(kc_f, qdtype, token_axis=1)
+    vq, vs = quantize_kv(vc_f, qdtype, token_axis=1)
     kn, vn = mk(rng, B, T, Hk, D), mk(rng, B, T, Hk, D)
-    cs = jnp.asarray([64, 100], jnp.int32)
+    cs = jnp.asarray([64, 101], jnp.int32)   # even + odd append offsets
     out, (kq2, vq2, ks2, vs2) = flash_attn_with_kvcache(
         q, kq, vq, k=kn, v=vn, cache_seqlens=cs, causal=True,
         k_scales=ks, v_scales=vs)
@@ -85,12 +87,23 @@ def test_quantized_decode_append(rng, qdtype):
                                 cache_seqlens=cs, causal=True, upcast=True)[0]
     err = max_abs_err(out, ref)
     assert err <= (0.3 if int4 else 0.1), err   # int4: resolution bound
-    # appended rows must round-trip through quantization
+    # appended rows must round-trip through quantization; for int4 the
+    # write must merge into the shared byte without touching the partner
+    # token's nibble
+    if int4:
+        from flash_attn_v100_tpu.ops.quant import unpack_int4_tokens
+        kq2 = unpack_int4_tokens(kq2, axis=1)
+        kq_pre = unpack_int4_tokens(kq, axis=1)
+    else:
+        kq_pre = kq
     for b in range(B):
-        row = dequantize_kv(kq2[b, int(cs[b])], ks2[b, int(cs[b])],
-                            jnp.float32, int4=int4)
+        t = int(cs[b])
+        row = dequantize_kv(kq2[b, t], ks2[b, t], jnp.float32)
         err_row = max_abs_err(row, kn[b, 0])
         assert err_row < (0.3 if int4 else 0.1), err_row
+        if int4:
+            partner = t - 1 if t % 2 else t + 1
+            assert jnp.array_equal(kq2[b, partner], kq_pre[b, partner])
 
 
 @pytest.mark.parametrize("qdtype", [jnp.int8, "int4"])
@@ -99,8 +112,8 @@ def test_quantized_paged_decode(rng, qdtype):
     ps, P = 64, 8
     q = mk(rng, B, T, Hq, D)
     pool_f_k, pool_f_v = mk(rng, P, ps, Hk, D), mk(rng, P, ps, Hk, D)
-    kq, ks = quantize_kv(pool_f_k, qdtype)
-    vq, vs = quantize_kv(pool_f_v, qdtype)
+    kq, ks = quantize_kv(pool_f_k, qdtype, token_axis=1)  # NHD pages
+    vq, vs = quantize_kv(pool_f_v, qdtype, token_axis=1)
     table = jnp.asarray([[3, 0, 5], [1, 7, 2]], jnp.int32)
     cs = jnp.asarray([150, 90], jnp.int32)
     out = flash_attn_with_kvcache(q, kq, vq, cache_seqlens=cs,

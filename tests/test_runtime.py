@@ -319,11 +319,12 @@ def _direct_paged_generate(params, cfg, prompt, n_new, num_pages, page_size,
     from flash_attn_v100_tpu.ops.quant import is_int4
     from flash_attn_v100_tpu.runtime.engine import ServingEngine, paged_forward
 
-    d = cfg.head_dim // 2 if is_int4(kv_dtype) else cfg.head_dim
+    rows = page_size // 2 if is_int4(kv_dtype) else page_size
     dt = jnp.int8 if is_int4(kv_dtype) else kv_dtype
-    pool_shape = (cfg.n_layers, cfg.n_kv_heads, num_pages + 1, page_size, d)
+    pool_shape = (cfg.n_layers, cfg.n_kv_heads, num_pages + 1, rows,
+                  cfg.head_dim)
     kp, vp = jnp.zeros(pool_shape, dt), jnp.zeros(pool_shape, dt)
-    ks = vs = jnp.ones(pool_shape[:-1] + (1,), jnp.float32)
+    ks = vs = jnp.ones(pool_shape[:3] + (page_size, 1), jnp.float32)
     mp = cfg.max_seq_len // page_size
     bt = jnp.arange(1, mp + 1, dtype=jnp.int32)[None]
 
