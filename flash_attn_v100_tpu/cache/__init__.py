@@ -63,6 +63,10 @@ def _payload(dtype):
 def init_contiguous(batch: int, max_len: int, n_kv_heads: int, head_dim: int,
                     dtype=jnp.bfloat16) -> ContiguousCache:
     div, dt, quant = _payload(dtype)
+    if max_len % div:
+        raise ValueError(
+            f"int4 caches pack two tokens per byte: max_len ({max_len}) "
+            "must be even")
     shape = (batch, n_kv_heads, max_len // div, head_dim)
     scales = (jnp.ones((batch, n_kv_heads, max_len, 1), jnp.float32)
               if quant else None)
@@ -74,6 +78,10 @@ def init_contiguous(batch: int, max_len: int, n_kv_heads: int, head_dim: int,
 def init_paged(num_pages: int, page_size: int, n_kv_heads: int, head_dim: int,
                dtype=jnp.bfloat16) -> PagedCache:
     div, dt, quant = _payload(dtype)
+    if page_size % div:
+        raise ValueError(
+            f"int4 caches pack two tokens per byte: page_size ({page_size}) "
+            "must be even")
     shape = (n_kv_heads, num_pages, page_size // div, head_dim)
     scales = (jnp.ones((n_kv_heads, num_pages, page_size, 1), jnp.float32)
               if quant else None)

@@ -245,8 +245,6 @@ def _decode_tile_update(q_ref, k_ref, ks_ref, v_ref, vs_ref,
         st = st * q_scale                                      # (hb, rq, ps)
         st = st * ks_ref[0, :, 0].astype(jnp.float32)          # (hb, 1, ps)
     else:
-        if quantized:
-            k = k.astype(q.dtype)
         st = jax.lax.dot_general(q, k.astype(q.dtype),
                                  (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)

@@ -9,10 +9,12 @@ package name ships for the same ecosystem-detection purpose.
 """
 
 import subprocess
+import sys
 from pathlib import Path
 
 from setuptools import setup
 from setuptools.command.build_py import build_py
+from setuptools.command.install import install
 
 
 class BuildWithNative(build_py):
@@ -26,4 +28,21 @@ class BuildWithNative(build_py):
         super().run()
 
 
-setup(cmdclass={"build_py": BuildWithNative})
+class InstallWithDistInfo(install):
+    """Emit the `flash_attn-2.8.3.dist-info` masquerade so
+    `importlib.metadata.version("flash-attn")` resolves — the ecosystem
+    detection contract of the reference (setup.py:114-124): HF
+    `is_flash_attn_2_available` and unsloth probe package METADATA, not
+    the import."""
+
+    def run(self):
+        super().run()
+        sys.path.insert(0, str(Path(__file__).parent))
+        from flash_attn_v100_tpu.utils.distinfo import write_dist_info
+        target = self.install_lib
+        if target:
+            print("dist-info masquerade:", write_dist_info(target))
+
+
+setup(cmdclass={"build_py": BuildWithNative,
+                "install": InstallWithDistInfo})

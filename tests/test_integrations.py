@@ -251,3 +251,26 @@ def test_torch_autograd_fn_grads_match_torch_sdpa(rng):
     for a, b in ((q1, q2), (k1, k2), (v1, v2)):
         assert float((a.grad - b.grad).abs().max()) < 5e-2, \
             float((a.grad - b.grad).abs().max())
+
+
+def test_flash_attn_dist_info_masquerade():
+    """Ecosystem detection: `importlib.metadata.version("flash-attn")` must
+    resolve to 2.8.3 — HF `is_flash_attn_2_available` probes package
+    METADATA, not the import (reference: setup.py:114-124 fabricates the
+    dist-info at install; here the repo root ships one and
+    utils/distinfo.py regenerates it)."""
+    import importlib.metadata
+    import os
+    import sys
+
+    from flash_attn_v100_tpu.utils.distinfo import write_dist_info
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    write_dist_info(repo_root)          # idempotent; ships in-tree anyway
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    importlib.metadata.MetadataPathFinder.invalidate_caches()
+    assert importlib.metadata.version("flash-attn") == "2.8.3"
+
+    import flash_attn
+    assert flash_attn.__version__ == "2.8.3"

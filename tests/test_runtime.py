@@ -358,7 +358,10 @@ def test_engine_int4_kv_pool():
         eng = ServingEngine(params, cfg, max_batch=1, num_pages=16,
                             page_size=8, kv_dtype="int4")
         assert eng.quantized and eng.kv_int4
-        assert eng.k_pool.shape[-1] == cfg.head_dim // 2
+        # int4 pools pack two TOKENS per byte (ops/quant.py layout): half the
+        # page rows at the full head_dim
+        assert eng.k_pool.shape[-1] == cfg.head_dim
+        assert eng.k_pool.shape[-2] == 8 // 2  # page_size // 2
         rid = eng.submit(prompt, max_new_tokens=6)
         out = eng.run_to_completion()
         assert out[rid] == ref, (out[rid], ref)
