@@ -56,6 +56,33 @@ def worker() -> None:
     print(f"[proc {pid}/{n_procs}] hybrid mesh {dict(mesh.shape)} "
           f"loss={loss:.4f} — OK", flush=True)
 
+    # ---- engine phase: cross-host continuous-batching decode parity ----
+    # The SAME ServingEngine host loop runs SPMD on every process over the
+    # hybrid mesh (pages sharded on "seq" across it, heads on "model");
+    # its greedy tokens must match a plain single-process engine exactly.
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    ecfg = ModelConfig.tiny(n_heads=4, n_kv_heads=2, dim=64, head_dim=16,
+                            ffn_dim=128, n_layers=2, max_seq_len=64)
+    eparams = init_params(jax.random.PRNGKey(1), ecfg)
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1, 8, 2, 8, 1], [9, 9, 8]]
+
+    ref_eng = ServingEngine(eparams, ecfg, max_batch=2, num_pages=16,
+                            page_size=8)
+    ref_ids = [ref_eng.submit(p, max_new_tokens=6) for p in prompts]
+    ref_out = ref_eng.run_to_completion()
+
+    eparams_g = jax.device_put(eparams, param_shardings(eparams, ecfg, mesh))
+    eng = ServingEngine(eparams_g, ecfg, max_batch=2, num_pages=16,
+                        page_size=8, mesh=mesh)
+    assert eng.multiprocess, "engine must detect the multi-process mesh"
+    ids = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    out = eng.run_to_completion()
+    for r, m in zip(ref_ids, ids):
+        assert ref_out[r] == out[m], (ref_out[r], out[m])
+    assert all(eng.ttft(i) is not None for i in ids)
+    print(f"[proc {pid}/{n_procs}] cross-host engine parity "
+          f"({len(prompts)} reqs, greedy tokens identical) — OK", flush=True)
+
 
 def launch(procs: int, local_devices: int) -> int:
     port = 29533
@@ -76,7 +103,8 @@ def launch(procs: int, local_devices: int) -> int:
     rc = 0
     for pid, c in enumerate(children):
         out, _ = c.communicate(timeout=600)
-        ok = c.returncode == 0 and "— OK" in out
+        ok = (c.returncode == 0 and "— OK" in out
+              and "engine parity" in out)
         tail = "\n".join(out.strip().splitlines()[-4:])
         print(f"--- proc {pid}: rc={c.returncode} ---\n{tail}")
         if not ok:

@@ -263,6 +263,20 @@ class ServingEngine:
         chunked request's own TTFT.  Power-of-two chunks avoid re-bucketing."""
         if cfg.max_seq_len % page_size:
             raise ValueError("page_size must divide cfg.max_seq_len")
+        # Cross-host serving: when `mesh` spans processes the engine runs
+        # SPMD — every process executes the SAME host loop (submit/step
+        # calls must be replicated deterministically, which they are: the
+        # scheduler, bucketing, and RNG are pure functions of the request
+        # sequence), device state lives in global arrays over the hybrid
+        # mesh, and sampled tokens come back replicated so every process
+        # can fetch them locally.  This is the "continuous batching of
+        # decode requests across hosts" the reference's stubbed num_splits
+        # points at (kernel/fused_mha_forward_kvcache.cu:462).
+        self.multiprocess = mesh is not None and jax.process_count() > 1
+        self._rep_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._rep_sharding = NamedSharding(mesh, PartitionSpec())
         if prefill_chunk is not None and prefill_chunk < 1:
             raise ValueError("prefill_chunk must be positive")
         self.prefill_chunk = prefill_chunk
@@ -304,37 +318,53 @@ class ServingEngine:
         pool_dt = jnp.int8 if self.kv_int4 else kv_dtype
         pool_shape = (cfg.n_layers, cfg.n_kv_heads, sp * (num_pages + 1),
                       pool_rows, cfg.head_dim)
-        self.k_pool = jnp.zeros(pool_shape, pool_dt)
-        self.v_pool = jnp.zeros(pool_shape, pool_dt)
-        self.k_scales = self.v_scales = None
-        if self.quantized:
-            sc_shape = pool_shape[:3] + (page_size, 1)
-            self.k_scales = jnp.ones(sc_shape, jnp.float32)
-            self.v_scales = jnp.ones(sc_shape, jnp.float32)
-        if mesh is not None:
+        sc_shape = pool_shape[:3] + (page_size, 1)
+        self._pool_sharding = None
+        if mesh is None:
+            self.k_pool = jnp.zeros(pool_shape, pool_dt)
+            self.v_pool = jnp.zeros(pool_shape, pool_dt)
+            self.k_scales = self.v_scales = None
+            if self.quantized:
+                self.k_scales = jnp.ones(sc_shape, jnp.float32)
+                self.v_scales = jnp.ones(sc_shape, jnp.float32)
+        else:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from flash_attn_v100_tpu.parallel.mesh import MODEL_AXIS, SEQ_AXIS
             page_ax = SEQ_AXIS if sp > 1 else None
             sh = NamedSharding(mesh, P(None, MODEL_AXIS, page_ax, None, None))
-            self.k_pool = jax.device_put(self.k_pool, sh)
-            self.v_pool = jax.device_put(self.v_pool, sh)
+            self._pool_sharding = sh
+            # SPMD allocation: jit with out_shardings creates the GLOBAL
+            # arrays directly (each process materializes only its shards —
+            # required in multiprocess mode, also skips the host round-trip
+            # device_put would pay single-process)
+            mk = jax.jit(lambda: (jnp.zeros(pool_shape, pool_dt),
+                                  jnp.zeros(pool_shape, pool_dt)),
+                         out_shardings=(sh, sh))
+            self.k_pool, self.v_pool = mk()
+            self.k_scales = self.v_scales = None
             if self.quantized:
-                self.k_scales = jax.device_put(self.k_scales, sh)
-                self.v_scales = jax.device_put(self.v_scales, sh)
+                mks = jax.jit(lambda: (jnp.ones(sc_shape, jnp.float32),
+                                       jnp.ones(sc_shape, jnp.float32)),
+                              out_shardings=(sh, sh))
+                self.k_scales, self.v_scales = mks()
         self.greedy = greedy
         self.temperature = temperature
         self.default_sampling = SamplingParams(
             temperature=0.0 if greedy else float(temperature))
-        self._rng = jax.random.PRNGKey(rng_seed)
+        # sampling RNG: a host-side step counter folded into a fixed base key
+        # INSIDE the jitted step — deterministic across processes (the key
+        # never lives as a process-local device array)
+        self._rng_seed = int(rng_seed)
+        self._rng_ctr = 0
         self._prev_tok = None               # last step's (max_batch,) tokens
         self.eos_token_id = eos_token_id
         self.eos_check_interval = max(1, eos_check_interval)
         # steady-state decode caches: (ids, page_counts, bt_dev, cs_dev);
         # device constants for the identity token gather
         self._steady = None
-        self._id_gather = jnp.arange(max_batch, dtype=jnp.int32)
-        self._all_dev = jnp.zeros((max_batch,), bool)
-        self._zero_toks = jnp.zeros((max_batch,), jnp.int32)
+        self._id_gather = self._put(np.arange(max_batch, dtype=np.int32))
+        self._all_dev = self._put(np.zeros((max_batch,), bool))
+        self._zero_toks = self._put(np.zeros((max_batch,), np.int32))
         self._seqs: Dict[int, _Seq] = {}
         self._next_id = 0
         self._interpret = interpret
@@ -351,21 +381,27 @@ class ServingEngine:
                                            interpret=interpret)
             return logits, kp, vp, ks, vs
 
-        def prefill_fn(params, kp, vp, ks, vs, toks, cs, bt, last_idx, key,
+        rng_seed_const = self._rng_seed
+
+        def _key(ctr):
+            return jax.random.fold_in(jax.random.PRNGKey(rng_seed_const), ctr)
+
+        def prefill_fn(params, kp, vp, ks, vs, toks, cs, bt, last_idx, ctr,
                        temp, topk, topp):
             logits, kp, vp, ks, vs = core(params, kp, vp, ks, vs, toks, cs, bt)
             last = jnp.take_along_axis(
                 logits, last_idx[:, None, None], axis=1)[:, 0]
-            return _sample_rows(last, key, temp, topk, topp), kp, vp, ks, vs
+            return (_sample_rows(last, _key(ctr), temp, topk, topp),
+                    kp, vp, ks, vs)
 
         def decode_fn(params, kp, vp, ks, vs, prev_tok, gather_idx, use_host,
-                      host_toks, cs, bt, key, temp, topk, topp):
+                      host_toks, cs, bt, ctr, temp, topk, topp):
             toks = jnp.where(use_host, host_toks, prev_tok[gather_idx])
             logits, kp, vp, ks, vs = core(params, kp, vp, ks, vs,
                                           toks[:, None], cs, bt)
             # cs advances deterministically: steady-state steps reuse the
             # returned device array — no host->device transfer on the loop
-            return (_sample_rows(logits[:, 0], key, temp, topk, topp),
+            return (_sample_rows(logits[:, 0], _key(ctr), temp, topk, topp),
                     cs + 1, kp, vp, ks, vs)
 
         def copy_pages_fn(kp, vp, ks, vs, src, dst):
@@ -379,18 +415,31 @@ class ServingEngine:
             return kp, vp, ks, vs
 
         dn = (1, 2, 3, 4) if self.quantized else (1, 2)
-        self._prefill_fn = jax.jit(prefill_fn, donate_argnums=dn)
-        self._decode_fn = jax.jit(decode_fn, donate_argnums=dn)
+        # tokens (and the advanced cache_seqlens) come back REPLICATED so
+        # every process holds them addressably; pools keep their placement
+        rep = self._rep_sharding
+        psh = self._pool_sharding
+        ssh = psh if self.quantized else rep
+        pf_out = dec_out = cp_out = None
+        if mesh is not None:
+            pf_out = (rep, psh, psh, ssh, ssh)
+            dec_out = (rep, rep, psh, psh, ssh, ssh)
+            cp_out = (psh, psh, ssh, ssh)
+        self._prefill_fn = jax.jit(prefill_fn, donate_argnums=dn,
+                                   out_shardings=pf_out)
+        self._decode_fn = jax.jit(decode_fn, donate_argnums=dn,
+                                  out_shardings=dec_out)
         self._copy_pages_fn = jax.jit(
             copy_pages_fn,
-            donate_argnums=(0, 1, 2, 3) if self.quantized else (0, 1))
+            donate_argnums=(0, 1, 2, 3) if self.quantized else (0, 1),
+            out_shardings=cp_out)
         self.prefix_cache = prefix_cache
         # chain hash -> (owner sid, n full pages covered)
         self._prefix_index: Dict[int, Tuple[int, int]] = {}
         # scale placeholders so the jitted signature is uniform
         if not self.quantized:
-            self.k_scales = jnp.zeros((1,), jnp.float32)
-            self.v_scales = jnp.zeros((1,), jnp.float32)
+            self.k_scales = self._put(np.zeros((1,), np.float32))
+            self.v_scales = self._put(np.zeros((1,), np.float32))
         self.metrics = dict(steps=0, tokens_generated=0, prefill_tokens=0,
                             prefix_hits=0, prefix_tokens_reused=0)
 
@@ -474,9 +523,18 @@ class ServingEngine:
             bt[row, :len(pages)] = np.asarray(pages, np.int32) + 1
         return bt
 
-    def _next_key(self):
-        self._rng, sub = jax.random.split(self._rng)
-        return sub
+    def _put(self, x):
+        """Host array -> array every process can feed the jitted step:
+        multiprocess, a GLOBAL fully-replicated array assembled from the
+        (identical) process-local data; otherwise a plain local array."""
+        if not self.multiprocess:
+            return jnp.asarray(x)
+        return jax.make_array_from_process_local_data(
+            self._rep_sharding, np.asarray(x))
+
+    def _next_ctr(self):
+        self._rng_ctr += 1
+        return self._put(np.int32(self._rng_ctr))
 
     def _sampling_arrays(self, ids: List[int]):
         """(temperature, top_k, top_p) per batch row, padded rows greedy."""
@@ -488,7 +546,7 @@ class ServingEngine:
             temp[row] = sp.temperature
             topk[row] = sp.top_k
             topp[row] = sp.top_p
-        return jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp)
+        return self._put(temp), self._put(topk), self._put(topp)
 
     def step(self) -> List[int]:
         """Advance every running sequence one token.  Returns ids finished
@@ -638,8 +696,8 @@ class ServingEngine:
                 (self.k_pool, self.v_pool, self.k_scales,
                  self.v_scales) = self._copy_pages_fn(
                     self.k_pool, self.v_pool, self.k_scales, self.v_scales,
-                    jnp.asarray(src_idx + [0] * pad, jnp.int32),
-                    jnp.asarray(dst_idx + [0] * pad, jnp.int32))
+                    self._put(np.asarray(src_idx + [0] * pad, np.int32)),
+                    self._put(np.asarray(dst_idx + [0] * pad, np.int32)))
         # spans: (sid, base, take, final) — this step appends tokens
         # [base, base+take) of prompt+generated; only final rows (take
         # reaches the end) sample a real next token
@@ -669,9 +727,9 @@ class ServingEngine:
          self.k_scales, self.v_scales) = self._prefill_fn(
             self.params, self.k_pool, self.v_pool,
             self.k_scales, self.v_scales,
-            jnp.asarray(toks), jnp.asarray(cs),
-            jnp.asarray(self._block_table(ids)), jnp.asarray(last_idx),
-            self._next_key(), temp, topk, topp)
+            self._put(toks), self._put(cs),
+            self._put(self._block_table(ids)), self._put(last_idx),
+            self._next_ctr(), temp, topk, topp)
         self._emit(ids, tok, finished, first=True,
                    emit=[fin for _, _, _, fin in spans])
         self.metrics["prefill_tokens"] += int(sum(lens))
@@ -736,11 +794,11 @@ class ServingEngine:
                 # KV covers prompt + all generated EXCEPT the last token,
                 # which is this step's input, appended at this position
                 cs[row] = len(s.prompt) + len(s.generated) - 1
-            bt_dev = jnp.asarray(self._block_table(ids))
-            cs_dev = jnp.asarray(cs)
-            gather_idx = jnp.asarray(gather_np)
-            use_host = jnp.asarray(usehost_np)
-            host_toks = jnp.asarray(hosttok_np)
+            bt_dev = self._put(self._block_table(ids))
+            cs_dev = self._put(cs)
+            gather_idx = self._put(gather_np)
+            use_host = self._put(usehost_np)
+            host_toks = self._put(hosttok_np)
             temp, topk, topp = self._sampling_arrays(ids)
         (tok, cs_next, self.k_pool, self.v_pool,
          self.k_scales, self.v_scales) = self._decode_fn(
@@ -748,7 +806,7 @@ class ServingEngine:
             self.k_scales, self.v_scales,
             prev if prev is not None else self._zero_toks,
             gather_idx, use_host, host_toks, cs_dev, bt_dev,
-            self._next_key(), temp, topk, topp)
+            self._next_ctr(), temp, topk, topp)
         self._emit(ids, tok, finished)
         # next step is steady if the batch stays identical and no sequence
         # crossed a page boundary (counts recomputed then)
@@ -758,15 +816,25 @@ class ServingEngine:
               first: bool = False, emit: Optional[List[bool]] = None) -> None:
         """`emit[row]=False` (mid-chunk prefill rows): the sampled token is
         garbage by construction — no token is recorded or counted."""
-        now = time.monotonic()
         self._prev_tok = tokens             # (max_batch,) device array
+        stamp_rows = []
         for row, sid in enumerate(ids):
             if emit is not None and not emit[row]:
                 continue
             s = self._seqs[sid]
             s.generated.append((tokens, row))   # lazy device token
             if first and s.first_token_at is None:
-                s.first_token_at = now
+                stamp_rows.append(sid)
             self.metrics["tokens_generated"] += 1
             if self.sched.advance(sid):
                 finished.append(sid)
+        if stamp_rows:
+            # TTFT is stamped only once the token VALUE exists: block on the
+            # device array, then take the clock.  Stamping at dispatch would
+            # time the async enqueue (microseconds), not the prefill — only
+            # first-token (prefill) steps pay this sync, the decode loop
+            # stays fully asynchronous.
+            jax.block_until_ready(tokens)
+            now = time.monotonic()
+            for sid in stamp_rows:
+                self._seqs[sid].first_token_at = now
