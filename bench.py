@@ -132,14 +132,39 @@ def main():
               f"({gbps(bytes_int8, dtq)/819*100:.0f}% roofline), "
               f"{dt/dtq:.2f}x bf16", file=sys.stderr)
 
-        k4, ks4 = quantize_kv(kpool, "int4")
-        v4, vs4 = quantize_kv(vpool, "int4")
-        dt4 = med3(fq, qd, k4, v4, ks4, vs4, n=NCH)
+        # int4 wants LARGE pages: its packed payload halves the tile rows,
+        # so at 512-token pages every matmul runs at half width and the
+        # per-MXU-call overhead dominates (measured 49% roofline r2);
+        # 2048-token pages restore full-width calls (73%).  At 32k ctx a
+        # 2048-token page is 16 pages/seq — coarse but realistic paging.
+        ps4 = 2048
+        P4 = B * ctx // ps4
+        kp4 = kpool.reshape(Hk, P4, ps4, D)
+        vp4 = vpool.reshape(Hk, P4, ps4, D)
+        t4 = jnp.arange(P4, dtype=jnp.int32).reshape(B, -1)
+        k4, ks4 = quantize_kv(kp4, "int4")
+        v4, vs4 = quantize_kv(vp4, "int4")
+        f4 = chain(lambda qc, a, b, c, d: flash_attn_with_kvcache(
+            qc, a, b, cache_seqlens=cs, block_table=t4, causal=True,
+            k_scales=c, v_scales=d, kv_cache_layout="HND"), NCH)
+        dt4 = med3(f4, qd, k4, v4, ks4, vs4, n=NCH)
         bytes_int4 = 2 * B * ctx * Hk * (D // 2 + 4)
         print(f"decode_32k_int4: {B/dt4:.0f} tok/s/chip, "
               f"{gbps(bytes_int4, dt4):.0f} GB/s "
               f"({gbps(bytes_int4, dt4)/819*100:.0f}% roofline), "
-              f"{dt/dt4:.2f}x bf16", file=sys.stderr)
+              f"{dt/dt4:.2f}x bf16 (2048-token pages)", file=sys.stderr)
+
+        # fp8-e4m3: storage/compat format — v5e has no fp8 MXU, the kernel
+        # dequantizes the streamed V tile to bf16, so it cannot beat int8
+        # (which never converts the stream); measured for the record
+        kf, kfs = quantize_kv(kpool, jnp.float8_e4m3fn)
+        vf, vfs = quantize_kv(vpool, jnp.float8_e4m3fn)
+        dtf = med3(fq, qd, kf, vf, kfs, vfs, n=NCH)
+        bytes_fp8 = 2 * B * ctx * Hk * (D + 4)
+        print(f"decode_32k_fp8: {B/dtf:.0f} tok/s/chip, "
+              f"{gbps(bytes_fp8, dtf):.0f} GB/s "
+              f"({gbps(bytes_fp8, dtf)/819*100:.0f}% roofline), "
+              f"{dt/dtf:.2f}x bf16", file=sys.stderr)
     except Exception as e:  # secondary metrics must not break the bench line
         print(f"secondary bench failed: {e}", file=sys.stderr)
 
@@ -165,31 +190,57 @@ def main():
         print(f"varlen bench failed: {e}", file=sys.stderr)
 
     # ---- secondary: serving TTFT p50 (stderr) — BASELINE primary metric ----
+    # Realistic, device-bound model (llama-7B-class: 16 layers, d=4096,
+    # GQA 32/8, D=128, 2k prompts, batch 16) so TTFT is prefill compute and
+    # decode tok/s is parameter+KV bandwidth, not host-loop overhead.  TTFT
+    # is materialization-stamped (engine blocks on the first token's device
+    # array before taking the clock — runtime/engine.py:_emit).
     try:
         import time
         from flash_attn_v100_tpu.models.transformer import (
             ModelConfig, init_params)
         from flash_attn_v100_tpu.runtime.engine import ServingEngine
-        cfg = ModelConfig(vocab_size=32000, dim=1024, n_layers=4, n_heads=16,
-                          n_kv_heads=8, head_dim=64, ffn_dim=2816,
-                          max_seq_len=2048, dtype=jnp.bfloat16)
+        cfg = ModelConfig(vocab_size=32000, dim=4096, n_layers=16, n_heads=32,
+                          n_kv_heads=8, head_dim=128, ffn_dim=11008,
+                          max_seq_len=2560, dtype=jnp.bfloat16)
         params = init_params(jax.random.PRNGKey(0), cfg)
-        eng = ServingEngine(params, cfg, max_batch=16, num_pages=512,
+        n_layers, dim = cfg.n_layers, cfg.dim
+        eng = ServingEngine(params, cfg, max_batch=16, num_pages=560,
                             page_size=64)
-        prompts = [rng.integers(1, cfg.vocab_size, 512).tolist()
-                   for _ in range(24)]
-        eng.submit(prompts[0], max_new_tokens=2)   # compile warmup
+        PLEN, NREQ, NEW = 2048, 24, 64
+        prompts = [rng.integers(1, cfg.vocab_size, PLEN).tolist()
+                   for _ in range(NREQ)]
+        eng.submit(prompts[0][:PLEN], max_new_tokens=2)   # compile warmup
         eng.run_to_completion()
         t0 = time.monotonic()
-        rids = [eng.submit(p, max_new_tokens=64) for p in prompts]
-        eng.run_to_completion()
-        wall = time.monotonic() - t0
+        rids = [eng.submit(p, max_new_tokens=NEW) for p in prompts]
+        # phase 1: run until every admitted request is past prefill at least
+        # once, so the remaining steps are pure decode and can be timed as
+        # the steady-state decode rate
+        dec_toks = 0
+        dec_wall = 0.0
+        while not eng.idle():
+            pf0 = eng.metrics["prefill_tokens"]
+            tg0 = eng.metrics["tokens_generated"]
+            ts = time.monotonic()
+            eng.step()
+            te = time.monotonic()
+            if eng.metrics["prefill_tokens"] == pf0:   # pure decode step
+                dec_toks += eng.metrics["tokens_generated"] - tg0
+                dec_wall += te - ts
+        # the async loop defers materialization: charge the final fetch to
+        # the decode phase before computing the rate
+        tf = time.monotonic()
         total_new = sum(len(eng.result(r)) for r in rids)
+        dec_wall += time.monotonic() - tf
+        wall = time.monotonic() - t0
         ttfts = sorted(eng.ttft(r) for r in rids)
         p50 = ttfts[len(ttfts) // 2]
         print(f"serving_ttft_p50: {p50*1e3:.0f} ms "
-              f"(L=4 d=1024 engine, 24 reqs x 512 prompt, batch<=16); "
-              f"engine decode {total_new/wall:.0f} tok/s/chip", file=sys.stderr)
+              f"(L={n_layers} d={dim} GQA {cfg.n_heads}/{cfg.n_kv_heads} "
+              f"D={cfg.head_dim}, {NREQ} reqs x {PLEN} prompt, batch<=16); "
+              f"decode {dec_toks/dec_wall:.0f} tok/s/chip steady, "
+              f"{total_new/wall:.0f} tok/s/chip e2e", file=sys.stderr)
     except Exception as e:
         print(f"serving bench failed: {e}", file=sys.stderr)
 

@@ -22,7 +22,7 @@ from flash_attn_v100_tpu.utils.benchmarking import measure, gbps
 
 B, Hq, Hk, D = 8, 32, 8, 128
 ctx = 32768
-PS = 512
+PS = int(os.environ.get("PS", "512"))
 group = Hq // Hk
 N_CHAIN = int(os.environ.get("N_CHAIN", "8"))
 
@@ -108,9 +108,10 @@ def patched(mode):
 
 
 def run(name, quant_args, int4, kv_unroll=None, patch=None, num_splits=0):
-    a, b_, c, d_ = quant_args
-
-    def core(q):
+    # pools MUST be jit ARGUMENTS: closed-over arrays are baked into the
+    # HLO as literals and a 268 MB pool blows the remote-compile request
+    # body limit (HTTP 413 on the axon tunnel)
+    def core(q, a, b_, c, d_):
         o, l = dec.paged_decode_attention(
             q, a[None], b_[None], table, cs, lp,
             softmax_scale=scale, params=params, t_new=1, group=group,
@@ -118,9 +119,9 @@ def run(name, quant_args, int4, kv_unroll=None, patch=None, num_splits=0):
             kv_unroll=kv_unroll, int4=int4, num_splits=num_splits)
         return dec.merge_partials(o, l)[0]
 
-    def chained(q):
+    def chained(q, a, b_, c, d_):
         def step(qc, _):
-            o = core(qc)
+            o = core(qc, a, b_, c, d_)
             return (qc + 1e-6 * o[..., :D].astype(qc.dtype)), ()
         return jax.lax.scan(step, q, None, length=N_CHAIN)[0]
 
@@ -128,11 +129,11 @@ def run(name, quant_args, int4, kv_unroll=None, patch=None, num_splits=0):
         dec._decode_tile_update = patched(patch)
     try:
         fj = jax.jit(chained)
-        fj(qd).block_until_ready()
+        fj(qd, *quant_args).block_until_ready()
     finally:
         dec._decode_tile_update = _orig
     dt = statistics.median(
-        measure(fj, qd, iters=3) / N_CHAIN for _ in range(3))
+        measure(fj, qd, *quant_args, iters=3) / N_CHAIN for _ in range(3))
     nb = 2 * B * ctx * Hk * ((D // 2 if int4 else D) + 4)
     print(f"{name}: {B/dt:.0f} tok/s, {gbps(nb, dt):.0f} GB/s "
           f"({gbps(nb, dt)/819*100:.0f}%)", flush=True)

@@ -154,6 +154,62 @@ def block_ranges(lo_row, hi_row, num_blocks: int, block: int,
     return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 
+def flatten_live_windows(lo, hi, num_blocks: int, max_steps: int):
+    """Flatten per-block live ranges [lo_i, hi_i] into ONE packed grid axis —
+    the varlen analog of the dense kernels' flattened live-pair grid.
+
+    Step t belongs to outer block `oof[t]` and visits inner block
+    `iof[t] = lo[oof[t]] + (t - start[oof[t]])`.  Blocks with empty ranges
+    (hi < lo: fully-masked or padding) still get ONE step so their outputs
+    are initialized/stored (zeros + lse=-inf, the reference's fully-masked
+    row semantics, kernel/fused_mha_forward_varlen.cu:100-111).
+
+    Returns (oof (max_steps+1,) int32 — entry [t] valid for t < total,
+    sentinel-padded so kernels may read [t+1]; iof (max_steps,) int32;
+    total: traced step count — the dynamic grid dimension).  Unlike the
+    per-block max-window grid, total = SUM of spans: mixed-length batches
+    pay zero dead steps for the long-sequence tail.
+    """
+    lo = lo.astype(jnp.int32)
+    hi = hi.astype(jnp.int32)
+    spans = jnp.maximum(hi - lo + 1, 1)
+    cum = jnp.cumsum(spans)
+    total = cum[num_blocks - 1]
+    t = jnp.arange(max_steps, dtype=jnp.int32)
+    oof = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    oof = jnp.clip(oof, 0, num_blocks - 1)
+    start = cum[oof] - spans[oof]
+    iof = jnp.clip(lo[oof] + (t - start), 0, None)
+    # sentinel so `oof[t+1] != oof[t]` is readable at the true last step
+    oof_ext = jnp.concatenate([oof, jnp.full((1,), -1, jnp.int32)])
+    return oof_ext, iof, total
+
+
+def flatten_live_windows_grouped(lo, hi, num_blocks: int, group: int,
+                                 max_steps: int):
+    """Grouped flat live-pair axis for the dKV pass: for each kv block, the
+    inner work is (GQA group g, live q block) — `group` consecutive copies
+    of the block's live q span, g-major, so dK/dV accumulate across the
+    whole per-kv-block segment (the in-kernel GQA reduction).
+
+    Returns (oof (max_steps+1,) sentinel-padded kv-block ids, iof q-block
+    ids, gof group ids, total traced steps)."""
+    lo = lo.astype(jnp.int32)
+    hi = hi.astype(jnp.int32)
+    spans = jnp.maximum(hi - lo + 1, 1)
+    gspans = group * spans
+    cum = jnp.cumsum(gspans)
+    total = cum[num_blocks - 1]
+    t = jnp.arange(max_steps, dtype=jnp.int32)
+    oof = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    oof = jnp.clip(oof, 0, num_blocks - 1)
+    within = t - (cum[oof] - gspans[oof])
+    gof = within // spans[oof]
+    iof = jnp.clip(lo[oof] + within % spans[oof], 0, None)
+    oof_ext = jnp.concatenate([oof, jnp.full((1,), -1, jnp.int32)])
+    return oof_ext, iof, jnp.clip(gof, 0, group - 1), total
+
+
 def block_aggregates(seg, pos_plus, num_blocks: int, block: int):
     """Per-block [seg_min, seg_max, val_min, val_max] int32 aggregates of the
     per-token segment ids and a position-derived value (q_pos + offs for q
@@ -274,10 +330,11 @@ def _slope_tokens(alibi_slopes, q_seg, Hq):
 # ======================================================================================
 
 def _varlen_fwd_kernel(
-    lo_ref,       # scalar-prefetch: (num_q_blocks,) first live kv block
+    qof_ref,      # scalar-prefetch: (max_steps+1,) q block of flat step
+    kof_ref,      # scalar-prefetch: (max_steps,) kv block of flat step
     hi_ref,       # scalar-prefetch: (num_q_blocks,) last live kv block
-    qagg_ref,     # scalar-prefetch: (4, num_q_blocks) block aggregates
-    kagg_ref,     # scalar-prefetch: (4, num_kv_blocks)
+    qagg_ref,     # scalar-prefetch: (6, num_q_blocks) block aggregates
+    kagg_ref,     # scalar-prefetch: (6, num_kv_blocks)
     *refs,
     params: masklib.MaskParams,
     softmax_scale: float,
@@ -287,6 +344,7 @@ def _varlen_fwd_kernel(
     block_k: int,
     num_kv_blocks_total: int,
     skip_p_zero: bool = False,
+    paged: bool = False,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -299,22 +357,26 @@ def _varlen_fwd_kernel(
     (q_ref, k_ref, v_ref, qseg_ref, qpos_ref, qoff_ref, kseg_ref, kpos_ref,
      o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs[idx:]
 
-    h, qi, kin = (pl.program_id(i) for i in range(3))
-    # inner axis iterates the live kv WINDOW: actual block = lo[qi] + kin.
-    # The window length is DYNAMIC (max live span over q blocks, a traced
-    # grid dim) — exact, not a static bound.
-    ki = lo_ref[qi] + kin
+    h, t = pl.program_id(0), pl.program_id(1)
+    # FLAT live-pair axis (flatten_live_windows): step t visits
+    # (q block qof[t], kv block kof[t]); total steps = SUM of live spans —
+    # a traced dynamic grid dim, zero dead steps for mixed-length batches.
+    qi = qof_ref[t]
+    ki = kof_ref[t]
     ki_c = jnp.minimum(ki, num_kv_blocks_total - 1)
 
-    @pl.when(kin == 0)
+    first = (t == 0) | (qof_ref[jnp.maximum(t - 1, 0)] != qi)
+
+    @pl.when(first)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # the prefetched block range covers bounds/causal/window; seg overlap
-    # (from SMEM block aggregates) still trims interior gaps of
-    # multi-sequence tiles
+    # the flat axis visits only [lo, hi] pairs; ki > hi happens solely on
+    # the single placeholder step of an empty (fully-masked) q block.  Seg
+    # overlap (SMEM block aggregates) still trims interior gaps of
+    # multi-sequence tiles.
     run = (ki <= hi_ref[qi]) & _tile_overlaps(qagg_ref, kagg_ref, qi, ki_c)
 
     # softmax in the exp2 domain unless softcap's tanh needs natural scale
@@ -325,7 +387,11 @@ def _varlen_fwd_kernel(
 
     def body(mode: str):
         q = q_ref[0]
-        k = k_ref[0]
+        # paged: the K/V tile is a pool PAGE fetched through the
+        # scalar-prefetched block table (4D block (1, 1, ps, D)) — the
+        # in-kernel page resolution of the reference's varlen paged loop
+        # (kernel/fused_mha_forward_varlen.cu:184-199)
+        k = k_ref[0, 0] if paged else k_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
 
@@ -376,7 +442,7 @@ def _varlen_fwd_kernel(
                                             seed_ref[0], seed_ref[1], dropout_p)
             p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
 
-        v = v_ref[0]
+        v = v_ref[0, 0] if paged else v_ref[0]
         pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
@@ -404,7 +470,9 @@ def _varlen_fwd_kernel(
         def _general():
             body("general")
 
-    @pl.when(kin == pl.num_programs(2) - 1)
+    last = (t == pl.num_programs(1) - 1) | (qof_ref[t + 1] != qi)
+
+    @pl.when(last)
     def _store():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
@@ -465,37 +533,39 @@ def flash_attn_varlen_fwd(
     q_agg = block_aggregates(q_seg, q_pos + q_offs, num_q_blocks, bq)
     k_agg = block_aggregates(k_seg, k_pos, num_kv_blocks, bk)
 
-    # inner grid = live kv WINDOW per q block, offset by the prefetched lo.
-    # The window length is the EXACT max live span over q blocks — a traced
-    # value feeding a dynamic grid dimension (one compile serves every
-    # ragged batch; dead sub-window steps alias a live block: no DMA, and
-    # `run` skips their compute).
-    win_k = jnp.max(kv_hi - kv_lo + 1)
-    grid = (Hq, num_q_blocks, win_k)
+    # FLAT live-pair grid: one packed axis of (q block, live kv block)
+    # pairs — total steps = sum of live spans (a traced dynamic grid dim),
+    # so mixed-length batches pay ZERO dead steps for the long tail (the
+    # per-q-block max-window grid padded every q block to the longest
+    # window; measured 41 -> 55+ TF/s on the 37..4096 mixed sweep).
+    max_steps = num_q_blocks * num_kv_blocks
+    qof, kof, total = flatten_live_windows(kv_lo, kv_hi, num_q_blocks,
+                                           max_steps)
+    grid = (Hq, total)
 
-    def kv_idx(qi, kin, lo_ref, hi_ref):
-        return jnp.clip(lo_ref[qi] + kin, 0, num_kv_blocks - 1)
+    qb = lambda qof_, t: qof_[t]
+    kb = lambda kof_, t: jnp.minimum(kof_[t], num_kv_blocks - 1)
 
     in_specs, inputs = [], []
     if params.has_alibi:
         slope_tok = _slope_tokens(alibi_slopes, q_seg, Hq)  # (Hq, Tqp)
-        in_specs.append(pl.BlockSpec((1, bq, 1),
-                                     lambda h, qi, ki, *_: (h, qi, 0)))
+        in_specs.append(pl.BlockSpec(
+            (1, bq, 1), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)))
         inputs.append(slope_tok[:, :, None])
     if dropout_p > 0.0:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(dropout_seed.astype(jnp.uint32))
 
-    qcol = lambda h, qi, ki, *_: (qi, 0)
-    krow = lambda h, qi, ki, lo, hi, *_: (0, kv_idx(qi, ki, lo, hi))
+    qcol = lambda h, t, qof_, *_: (qb(qof_, t), 0)
+    krow = lambda h, t, qof_, kof_, *_: (0, kb(kof_, t))
     in_specs += [
-        pl.BlockSpec((1, bq, D), lambda h, qi, ki, *_: (h, qi, 0)),
+        pl.BlockSpec((1, bq, D), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)),
         pl.BlockSpec((1, bk, D),
-                     lambda h, qi, ki, lo, hi, *_: (h // group,
-                                                    kv_idx(qi, ki, lo, hi), 0)),
+                     lambda h, t, qof_, kof_, *_: (h // group,
+                                                   kb(kof_, t), 0)),
         pl.BlockSpec((1, bk, D),
-                     lambda h, qi, ki, lo, hi, *_: (h // group,
-                                                    kv_idx(qi, ki, lo, hi), 0)),
+                     lambda h, t, qof_, kof_, *_: (h // group,
+                                                   kb(kof_, t), 0)),
         pl.BlockSpec((bq, 1), qcol),
         pl.BlockSpec((bq, 1), qcol),
         pl.BlockSpec((bq, 1), qcol),
@@ -507,12 +577,12 @@ def flash_attn_varlen_fwd(
                k_seg[None, :], k_pos[None, :]]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, bq, D), lambda h, qi, ki, *_: (h, qi, 0)),
-            pl.BlockSpec((1, bq, 1), lambda h, qi, ki, *_: (h, qi, 0)),
+            pl.BlockSpec((1, bq, D), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)),
+            pl.BlockSpec((1, bq, 1), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, MIN_LANES), jnp.float32),
@@ -541,14 +611,161 @@ def flash_attn_varlen_fwd(
             jax.ShapeDtypeStruct((Hq, Tqp, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kv_lo, kv_hi, q_agg, k_agg, *inputs)
+    )(qof, kof, kv_hi, q_agg, k_agg, *inputs)
 
     out = jnp.swapaxes(out[:, :Tq], 0, 1)
     lse = lse[:, :Tq, 0]
     return out, lse
+
+
+def _varlen_fwd_kernel_paged(qof_ref, kof_ref, tbl_ref, hi_ref, qagg_ref,
+                             kagg_ref, *refs, **kw):
+    """Paged entry: the block table rides as the 3rd scalar-prefetch arg
+    (consumed only by the K/V index maps); the body is the shared kernel."""
+    return _varlen_fwd_kernel(qof_ref, kof_ref, hi_ref, qagg_ref, kagg_ref,
+                              *refs, **kw)
+
+
+def flash_attn_varlen_fwd_paged(
+    q: jnp.ndarray,        # (Tq, Hq, D) packed
+    k_pool: jnp.ndarray,   # (Hk, P, ps, D) HND page pool
+    v_pool: jnp.ndarray,
+    block_table,           # (B, >=pages_per_seq) int32
+    cu_seqlens_q,
+    seqlens_k,             # (B,) int32 true KV tokens per sequence
+    max_seqlen_q: int, max_seqlen_k: int,
+    softmax_scale: float,
+    params: masklib.MaskParams,
+    alibi_slopes: Optional[jnp.ndarray] = None,
+    seqused_k=None,
+    leftpad_k=None,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Paged-KV varlen forward with IN-KERNEL page resolution — no
+    contiguous KV materialization (the reference resolves pages per KV tile
+    the same way, kernel/fused_mha_forward_varlen.cu:184-199).
+
+    The kv axis runs in VIRTUAL page-slot coordinates: sequence b occupies
+    tokens [b*mp*ps, b*mp*ps + len_b) where mp = ceil(max_seqlen_k/ps) block
+    table slots back each sequence — so every kv block is one pool page,
+    uniform in sequence (the fast/semi paths always apply), and the K/V
+    BlockSpec index map gathers the page id from the scalar-prefetched
+    block table.  Requires page_size % 128 == 0 (the kernel's lane rule for
+    the (1, bk) segment vectors — the TPU mirror of the reference's
+    page %256 constraint, fused_mha_forward_varlen.cu:439).
+    """
+    Tq, Hq, D = q.shape
+    Hk, P, ps, _ = k_pool.shape
+    group = Hq // Hk
+    if ps % 128:
+        raise ValueError(f"in-kernel paged varlen needs page_size % 128 == 0 "
+                         f"(got {ps})")
+    if interpret is None:
+        interpret = use_interpret()
+
+    cu_q = jnp.asarray(cu_seqlens_q, jnp.int32)
+    B = cu_q.shape[0] - 1
+    mp = cdiv(max_seqlen_k, ps)            # table slots per sequence
+    bk = ps
+    Tk_virtual = B * mp * ps
+
+    bs = block_sizes or BlockSizes.for_shape(max_seqlen_q, max_seqlen_k, D)
+    bq = round_up(bs.block_q, 128)
+    Tqp = round_up(Tq, bq)
+    qt = jnp.swapaxes(jnp.pad(q, ((0, Tqp - Tq), (0, 0), (0, 0))), 0, 1)
+
+    cu_k_virtual = jnp.arange(B + 1, dtype=jnp.int32) * (mp * ps)
+    used = jnp.asarray(seqlens_k, jnp.int32)
+    if seqused_k is not None:
+        used = jnp.minimum(used, jnp.asarray(seqused_k, jnp.int32))
+
+    (q_seg, q_pos, q_offs, k_seg, k_pos,
+     k_lo_row, k_hi_row, _, _) = build_ragged_info(
+        cu_q, cu_k_virtual, Tq, Tk_virtual, Tqp, Tk_virtual,
+        seqused_k=used, leftpad_k=leftpad_k,
+        window_left=params.window_left,
+        window_right=params.effective_window_right())
+
+    num_q_blocks, num_kv_blocks = Tqp // bq, B * mp
+    kv_lo, kv_hi = block_ranges(k_lo_row, k_hi_row, num_q_blocks, bq, bk,
+                                num_kv_blocks)
+    q_agg = block_aggregates(q_seg, q_pos + q_offs, num_q_blocks, bq)
+    k_agg = block_aggregates(k_seg, k_pos, num_kv_blocks, bk)
+
+    max_steps = num_q_blocks * num_kv_blocks
+    qof, kof, total = flatten_live_windows(kv_lo, kv_hi, num_q_blocks,
+                                           max_steps)
+    grid = (Hq, total)
+    tbl = jnp.asarray(block_table, jnp.int32)[:, :mp]
+
+    qb = lambda qof_, t: qof_[t]
+    kb = lambda kof_, t: jnp.minimum(kof_[t], num_kv_blocks - 1)
+
+    def page_map(h, t, qof_, kof_, tbl_, *_):
+        s = kb(kof_, t)
+        return (h // group, tbl_[s // mp, s % mp], 0, 0)
+
+    in_specs, inputs = [], []
+    if params.has_alibi:
+        slope_tok = _slope_tokens(alibi_slopes, q_seg, Hq)
+        in_specs.append(pl.BlockSpec(
+            (1, bq, 1), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)))
+        inputs.append(slope_tok[:, :, None])
+
+    qcol = lambda h, t, qof_, *_: (qb(qof_, t), 0)
+    krow = lambda h, t, qof_, kof_, *_: (0, kb(kof_, t))
+    in_specs += [
+        pl.BlockSpec((1, bq, D), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)),
+        pl.BlockSpec((1, 1, bk, D), page_map),
+        pl.BlockSpec((1, 1, bk, D), page_map),
+        pl.BlockSpec((bq, 1), qcol),
+        pl.BlockSpec((bq, 1), qcol),
+        pl.BlockSpec((bq, 1), qcol),
+        pl.BlockSpec((1, bk), krow),
+        pl.BlockSpec((1, bk), krow),
+    ]
+    inputs += [qt, k_pool, v_pool,
+               q_seg[:, None], q_pos[:, None], q_offs[:, None],
+               k_seg[None, :], k_pos[None, :]]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, bq, D), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)),
+            pl.BlockSpec((1, bq, 1), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, MIN_LANES), jnp.float32),
+            pltpu.VMEM((bq, MIN_LANES), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _varlen_fwd_kernel_paged, params=params,
+            softmax_scale=softmax_scale,
+            dropout_p=0.0, num_heads=Hq,
+            block_q=bq, block_k=bk, num_kv_blocks_total=num_kv_blocks,
+            skip_p_zero=False, paged=True,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((Hq, Tqp, D), q.dtype),
+            jax.ShapeDtypeStruct((Hq, Tqp, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qof, kof, tbl, kv_hi, q_agg, k_agg, *inputs)
+
+    return jnp.swapaxes(out[:, :Tq], 0, 1), lse[:, :Tq, 0]
 
 
 # ======================================================================================
@@ -556,8 +773,9 @@ def flash_attn_varlen_fwd(
 # ======================================================================================
 
 def _varlen_dq_kernel(
-    lo_ref, hi_ref,   # scalar-prefetch: per-q-block live kv block range
-    qagg_ref, kagg_ref,  # scalar-prefetch: (4, n) block aggregates
+    qof_ref, kof_ref,  # scalar-prefetch: flat live-pair step maps
+    hi_ref,            # scalar-prefetch: per-q-block last live kv block
+    qagg_ref, kagg_ref,  # scalar-prefetch: (6, n) block aggregates
     *refs,
     params, softmax_scale, dropout_p, num_heads, block_q, block_k,
     num_kv_blocks_total,
@@ -574,11 +792,14 @@ def _varlen_dq_kernel(
      qseg_ref, qpos_ref, qoff_ref, kseg_ref, kpos_ref,
      dq_ref, dq_acc) = refs[idx:]
 
-    h, qi, kin = (pl.program_id(i) for i in range(3))
-    ki = lo_ref[qi] + kin     # dynamic windowed inner axis (see fwd kernel)
+    h, t = pl.program_id(0), pl.program_id(1)
+    qi = qof_ref[t]           # flat live-pair axis (see fwd kernel)
+    ki = kof_ref[t]
     ki_c = jnp.minimum(ki, num_kv_blocks_total - 1)
 
-    @pl.when(kin == 0)
+    first = (t == 0) | (qof_ref[jnp.maximum(t - 1, 0)] != qi)
+
+    @pl.when(first)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
@@ -650,15 +871,17 @@ def _varlen_dq_kernel(
         def _general():
             body("general")
 
-    @pl.when(kin == pl.num_programs(2) - 1)
+    last = (t == pl.num_programs(1) - 1) | (qof_ref[t + 1] != qi)
+
+    @pl.when(last)
     def _store():
         dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
 
 
 def _varlen_dkv_kernel(
-    lo_ref, hi_ref,   # scalar-prefetch: per-kv-block live q block range
-    qagg_ref, kagg_ref,  # scalar-prefetch: (4, n) block aggregates
-    meta_ref,            # scalar-prefetch: [win_q] (dynamic window length)
+    kiof_ref, qiof_ref, gof_ref,  # scalar-prefetch: grouped flat step maps
+    hi_ref,              # scalar-prefetch: per-kv-block last live q block
+    qagg_ref, kagg_ref,  # scalar-prefetch: (6, n) block aggregates
     *refs,
     params, softmax_scale, dropout_p, num_heads, group, block_q, block_k,
     num_q_blocks_total,
@@ -675,15 +898,21 @@ def _varlen_dkv_kernel(
      qseg_ref, qpos_ref, qoff_ref, kseg_ref, kpos_ref,
      dk_ref, dv_ref, dk_acc, dv_acc) = refs[idx:]
 
-    hk, ki, t = (pl.program_id(i) for i in range(3))
-    # inner axis = (group, DYNAMIC live q window): g major, qin minor
-    win_q = meta_ref[0]
-    g = t // win_q
-    qi = lo_ref[ki] + t % win_q
+    hk, t = pl.program_id(0), pl.program_id(1)
+    # grouped flat live-pair axis (flatten_live_windows_grouped): kv block
+    # kiof[t], GQA group gof[t], q block qiof[t]; dK/dV accumulate across
+    # the whole per-kv-block segment (all groups — the in-kernel GQA
+    # reduction the reference does with an expanded buffer + host sum,
+    # kernel/fused_mha_backward_varlen.cu:764-804)
+    ki = kiof_ref[t]
+    qi = qiof_ref[t]
+    g = gof_ref[t]
     qi_c = jnp.minimum(qi, num_q_blocks_total - 1)
     h = hk * group + g
 
-    @pl.when(t == 0)
+    first = (t == 0) | (kiof_ref[jnp.maximum(t - 1, 0)] != ki)
+
+    @pl.when(first)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -760,7 +989,9 @@ def _varlen_dkv_kernel(
         def _general():
             body("general")
 
-    @pl.when(t == pl.num_programs(2) - 1)
+    last = (t == pl.num_programs(1) - 1) | (kiof_ref[t + 1] != ki)
+
+    @pl.when(last)
     def _store():
         dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
@@ -814,25 +1045,20 @@ def flash_attn_varlen_bwd(
         q_agg = block_aggregates(q_seg, q_pos + q_offs, num_q_blocks, bq)
         k_agg = block_aggregates(k_seg, k_pos, num_kv_blocks, bk)
 
-        def kv_idx(qi, kin, lo, hi):
-            return jnp.clip(lo[qi] + kin, 0, num_kv_blocks - 1)
-
-        def q_idx(ki, t, lo, hi, meta):
-            return jnp.clip(lo[ki] + t % meta[0], 0, num_q_blocks - 1)
-
         feat_specs, feat_inputs = [], []
         if params.has_alibi:
             slope_tok = _slope_tokens(alibi_slopes, q_seg, Hq)
             if which == "dq":
-                feat_specs.append(
-                    pl.BlockSpec((1, bq, 1), lambda h, qi, ki, *_: (h, qi, 0)))
+                feat_specs.append(pl.BlockSpec(
+                    (1, bq, 1),
+                    lambda h, t, qof_, *_: (h, qof_[t], 0)))
                 feat_inputs.append(slope_tok[:, :, None])
             else:
                 feat_specs.append(pl.BlockSpec(
                     (1, 1, bq),
-                    lambda hk, ki, t, lo, hi, qa, ka, meta: (
-                        hk * group + t // meta[0], 0,
-                        q_idx(ki, t, lo, hi, meta))))
+                    lambda hk, t, kiof_, qiof_, gof_, *_: (
+                        hk * group + gof_[t], 0,
+                        jnp.minimum(qiof_[t], num_q_blocks - 1))))
                 feat_inputs.append(slope_tok[:, None, :])
         if dropout_p > 0.0:
             feat_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -841,21 +1067,22 @@ def flash_attn_varlen_bwd(
         if which == "dq":
             kv_lo, kv_hi = block_ranges(k_lo_row, k_hi_row, num_q_blocks, bq,
                                         bk, num_kv_blocks)
-            win_k = jnp.max(kv_hi - kv_lo + 1)   # dynamic grid dim
+            # flat live-pair axis — zero dead steps (see fwd)
+            qof, kof, total = flatten_live_windows(
+                kv_lo, kv_hi, num_q_blocks, num_q_blocks * num_kv_blocks)
 
-            qmap = lambda h, qi, ki, *_: (h, qi, 0)
-            kmap = lambda h, qi, ki, lo, hi, *_: (h // group,
-                                                  kv_idx(qi, ki, lo, hi), 0)
-            lmap = lambda h, qi, ki, *_: (h, qi, 0)
-            qcol = lambda h, qi, ki, *_: (qi, 0)
-            krow = lambda h, qi, ki, lo, hi, *_: (0, kv_idx(qi, ki, lo, hi))
+            kb = lambda kof_, t: jnp.minimum(kof_[t], num_kv_blocks - 1)
+            qmap = lambda h, t, qof_, *_: (h, qof_[t], 0)
+            kmap = lambda h, t, qof_, kof_, *_: (h // group, kb(kof_, t), 0)
+            qcol = lambda h, t, qof_, *_: (qof_[t], 0)
+            krow = lambda h, t, qof_, kof_, *_: (0, kb(kof_, t))
             in_specs = feat_specs + [
                 pl.BlockSpec((1, bq, D), qmap),
                 pl.BlockSpec((1, bk, D), kmap),
                 pl.BlockSpec((1, bk, D), kmap),
                 pl.BlockSpec((1, bq, D), qmap),
-                pl.BlockSpec((1, bq, 1), lmap),
-                pl.BlockSpec((1, bq, 1), lmap),
+                pl.BlockSpec((1, bq, 1), qmap),
+                pl.BlockSpec((1, bq, 1), qmap),
                 pl.BlockSpec((bq, 1), qcol),
                 pl.BlockSpec((bq, 1), qcol),
                 pl.BlockSpec((bq, 1), qcol),
@@ -869,8 +1096,8 @@ def flash_attn_varlen_bwd(
                 k_seg[None, :], k_pos[None, :],
             ]
             grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,
-                grid=(Hq, num_q_blocks, win_k),
+                num_scalar_prefetch=5,
+                grid=(Hq, total),
                 in_specs=in_specs,
                 out_specs=pl.BlockSpec((1, bq, D), qmap),
                 scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
@@ -883,26 +1110,27 @@ def flash_attn_varlen_bwd(
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((Hq, Tqp, D), q.dtype),
                 compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("parallel", "parallel", "arbitrary")),
+                    dimension_semantics=("parallel", "arbitrary")),
                 interpret=interpret,
-            )(kv_lo, kv_hi, q_agg, k_agg, *inputs)
+            )(qof, kof, kv_hi, q_agg, k_agg, *inputs)
             return jnp.swapaxes(dq[:, :Tq], 0, 1)
 
         # dkv pass
         q_lo, q_hi = block_ranges(q_lo_row, q_hi_row, num_kv_blocks, bk,
                                   bq, num_q_blocks)
-        win_q = jnp.max(q_hi - q_lo + 1)         # dynamic live q window
-        meta = jnp.reshape(win_q, (1,)).astype(jnp.int32)
-        num_inner = group * win_q                # dynamic grid dim
+        # grouped flat axis: (kv block, GQA group, live q block)
+        kiof, qiof, gof, total = flatten_live_windows_grouped(
+            q_lo, q_hi, num_kv_blocks, group,
+            num_kv_blocks * group * num_q_blocks)
 
-        qmap = lambda hk, ki, t, lo, hi, qa, ka, meta: (
-            hk * group + t // meta[0], q_idx(ki, t, lo, hi, meta), 0)
-        kmap = lambda hk, ki, t, *_: (hk, ki, 0)
-        lmap = lambda hk, ki, t, lo, hi, qa, ka, meta: (
-            hk * group + t // meta[0], 0, q_idx(ki, t, lo, hi, meta))
-        qrow = lambda hk, ki, t, lo, hi, qa, ka, meta: (
-            0, q_idx(ki, t, lo, hi, meta))
-        kcol = lambda hk, ki, t, *_: (ki, 0)
+        qb = lambda qiof_, t: jnp.minimum(qiof_[t], num_q_blocks - 1)
+        qmap = lambda hk, t, kiof_, qiof_, gof_, *_: (
+            hk * group + gof_[t], qb(qiof_, t), 0)
+        kmap = lambda hk, t, kiof_, *_: (hk, kiof_[t], 0)
+        lmap = lambda hk, t, kiof_, qiof_, gof_, *_: (
+            hk * group + gof_[t], 0, qb(qiof_, t))
+        qrow = lambda hk, t, kiof_, qiof_, gof_, *_: (0, qb(qiof_, t))
+        kcol = lambda hk, t, kiof_, *_: (kiof_[t], 0)
         in_specs = feat_specs + [
             pl.BlockSpec((1, bq, D), qmap),
             pl.BlockSpec((1, bk, D), kmap),
@@ -923,8 +1151,8 @@ def flash_attn_varlen_bwd(
             k_seg[:, None], k_pos[:, None],
         ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(Hk, num_kv_blocks, num_inner),
+            num_scalar_prefetch=6,
+            grid=(Hk, total),
             in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, bk, D), kmap),
@@ -946,9 +1174,9 @@ def flash_attn_varlen_bwd(
                 jax.ShapeDtypeStruct((Hk, Tkp, D), v.dtype),
             ),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
+                dimension_semantics=("parallel", "arbitrary")),
             interpret=interpret,
-        )(q_lo, q_hi, q_agg, k_agg, meta, *inputs)
+        )(kiof, qiof, gof, q_hi, q_agg, k_agg, *inputs)
         return (jnp.swapaxes(dk[:, :Tk], 0, 1), jnp.swapaxes(dv[:, :Tk], 0, 1))
 
     dq = run_pass(bs.block_q_dq, bs.block_k_dq, "dq")

@@ -8,9 +8,12 @@ construction — see ops/flash_attention.py).  Extras carried over from the bind
 wrapper hardwires to None (interface.py:221-223): `seqused_k`, `leftpad_k`.
 
 `block_table` (paged K/V for prefill, reference:
-kernel/fused_mha_forward_varlen.cu:184-199) is forward-only, like the
-reference: pages are gathered into a packed K/V stream host-side (XLA gather
-saturates HBM bandwidth; the decode path has the fused in-kernel paged loop).
+kernel/fused_mha_forward_varlen.cu:184-199): TPU-native HND pools
+(kv_cache_layout="HND", page_size % 128 == 0) stream pages IN-KERNEL through
+a scalar-prefetched block table — no contiguous KV materialization, exactly
+the reference's per-tile page resolution; reference-layout NHD pools fall
+back to a page-granular XLA gather (differentiable).  Both forward-only at
+the paged surface, like the reference.
 """
 
 from __future__ import annotations
@@ -142,12 +145,19 @@ def flash_attn_varlen_func(
     dropout_seed: Optional[Union[int, jnp.ndarray]] = None,
     rng_key: Optional[jax.Array] = None,
     block_sizes: Optional[BlockSizes] = None,
+    kv_cache_layout: str = "NHD",
     interpret: Optional[bool] = None,
 ):
     """Varlen flash attention on packed (total, H, D) tensors.
 
     Reference surface: flash_attn_v100/flash_attn_interface.py:282-318.
-    With `block_table`, `k`/`v` are paged pools (num_pages, page_size, Hk, D).
+    With `block_table`, `k`/`v` are paged pools — reference layout
+    (num_pages, page_size, Hk, D) by default, or the TPU-native HND pool
+    (Hk, num_pages, page_size, D) with `kv_cache_layout="HND"`.  HND pools
+    with page_size % 128 == 0 stream pages IN-KERNEL through the
+    scalar-prefetched block table (no contiguous KV materialization,
+    forward-only — the reference's varlen paged path is also fwd-only);
+    NHD pools fall back to a page-granular XLA gather (differentiable).
     Returns out (total_q, Hq, D); with return_attn_probs, (out, lse, dmask)
     where lse is (Hq, total_q) fp32.
     """
@@ -171,18 +181,35 @@ def flash_attn_varlen_func(
                     else jnp.asarray(cu_seqlens_k, jnp.int32))
     B = cu_seqlens_q.shape[0] - 1
 
+    paged_inkernel = False
     if block_table is not None:
         if dropout_p > 0.0:
             raise ValueError("paged K/V with dropout is not supported")
-        equal_lens = False   # the gathered k stream has fixed per-seq stride
-        k, v, cu_seqlens_k, seqlens_k = _gather_paged_kv(
-            k, v, block_table, cu_seqlens_k, max_seqlen_k)
-        # true lengths enforced through seqused_k
-        seqused_k = seqlens_k if seqused_k is None else jnp.minimum(
-            jnp.asarray(seqused_k, jnp.int32), seqlens_k)
+        equal_lens = False
+        if kv_cache_layout == "HND":
+            # TPU-native pool: in-kernel page resolution, no KV gather
+            ps = k.shape[2]
+            if ps % 128:
+                raise ValueError(
+                    f"HND paged varlen needs page_size % 128 == 0 (got {ps}; "
+                    "TPU mirror of the reference's page%256 rule, "
+                    "kernel/fused_mha_forward_varlen.cu:439)")
+            if return_attn_probs:
+                raise ValueError("return_attn_probs unsupported with paged "
+                                 "HND pools")
+            paged_inkernel = True
+            lens = jnp.asarray(cu_seqlens_k, jnp.int32)
+            seqlens_k = lens[1:] - lens[:-1]
+        else:
+            # the gathered k stream has fixed per-seq stride
+            k, v, cu_seqlens_k, seqlens_k = _gather_paged_kv(
+                k, v, block_table, cu_seqlens_k, max_seqlen_k)
+            # true lengths enforced through seqused_k
+            seqused_k = seqlens_k if seqused_k is None else jnp.minimum(
+                jnp.asarray(seqused_k, jnp.int32), seqlens_k)
 
     Tq, Hq, D_og = q.shape
-    Hk = k.shape[1]
+    Hk = k.shape[0] if paged_inkernel else k.shape[1]
     if Hq % Hk != 0:
         raise ValueError("number of q heads must be divisible by number of kv heads")
     if softmax_scale is None:
@@ -190,8 +217,9 @@ def flash_attn_varlen_func(
 
     pad_d = (8 - D_og % 8) % 8
     if pad_d:
-        pad = ((0, 0), (0, 0), (0, pad_d))
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        qpad = ((0, 0), (0, 0), (0, pad_d))
+        kvpad = ((0, 0),) * (k.ndim - 1) + ((0, pad_d),)
+        q, k, v = jnp.pad(q, qpad), jnp.pad(k, kvpad), jnp.pad(v, kvpad)
 
     dtype_og = q.dtype
     interp_eff = use_interpret() if interpret is None else interpret
@@ -227,8 +255,20 @@ def flash_attn_varlen_func(
     sk = None if seqused_k is None else jnp.asarray(seqused_k, jnp.int32)
     lp = None if leftpad_k is None else jnp.asarray(leftpad_k, jnp.int32)
 
-    out, lse = _varlen_core(cfg, q, k, v, cu_seqlens_q, cu_seqlens_k,
-                            sk, lp, slopes, seed)
+    if paged_inkernel:
+        # forward-only (reference parity: no varlen paged backward) —
+        # bypass the custom_vjp and stream pool pages in-kernel
+        from flash_attn_v100_tpu.ops.pallas.varlen import (
+            flash_attn_varlen_fwd_paged)
+        out, lse = flash_attn_varlen_fwd_paged(
+            q, k, v, block_table, cu_seqlens_q, seqlens_k,
+            int(max_seqlen_q), int(max_seqlen_k),
+            float(softmax_scale), params,
+            alibi_slopes=slopes, seqused_k=sk, leftpad_k=lp,
+            block_sizes=block_sizes, interpret=interpret)
+    else:
+        out, lse = _varlen_core(cfg, q, k, v, cu_seqlens_q, cu_seqlens_k,
+                                sk, lp, slopes, seed)
     if pad_d:
         out = out[..., :D_og]
     if kdt != dtype_og:

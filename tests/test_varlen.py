@@ -165,3 +165,59 @@ def test_unpad_grad_flow(rng):
     g = jax.grad(loss)(un)
     assert g.shape == un.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+def _fill_pool(packed, lens, ps, Hk, D, dtype):
+    """Scatter packed (Tk, Hk, D) KV into an HND (Hk, P, ps, D) pool; returns
+    (pool, block_table)."""
+    B = len(lens)
+    pages_per = [-(-L // ps) for L in lens]
+    P = sum(pages_per) + 1          # page 0 unused (scratch)
+    pool = np.zeros((Hk, P, ps, D), np.float32)
+    bt = np.zeros((B, max(pages_per)), np.int32)
+    nxt, off = 1, 0
+    for b, L in enumerate(lens):
+        for j in range(pages_per[b]):
+            n = min(ps, L - j * ps)
+            pool[:, nxt, :n] = np.moveaxis(
+                np.asarray(packed[off + j * ps: off + j * ps + n],
+                           np.float32), 1, 0)
+            bt[b, j] = nxt
+            nxt += 1
+        off += L
+    return jnp.asarray(pool, dtype), jnp.asarray(bt)
+
+
+def test_varlen_paged_inkernel_hnd(rng):
+    """Paged-KV varlen prefill with IN-KERNEL page resolution (HND pool,
+    kv_cache_layout="HND"): matches the per-sequence oracle, and the jaxpr
+    contains NO contiguous KV materialization (reference analog:
+    kernel/fused_mha_forward_varlen.cu:184-199 resolves pages per tile)."""
+    Hq, Hk, D, ps = 4, 2, 64, 128
+    lens_q = [64, 100, 17]
+    lens_k = [200, 128, 37]
+    q, k, v, cu_q, cu_k, msq, msk = make_packed(
+        rng, lens_q, lens_k, Hq, Hk, D)
+    kp, bt = _fill_pool(k, lens_k, ps, Hk, D, k.dtype)
+    vp, _ = _fill_pool(v, lens_k, ps, Hk, D, v.dtype)
+
+    fn = lambda q, kp, vp: flash_attn_varlen_func(
+        q, kp, vp, cu_q, cu_k, msq, msk, causal=True,
+        block_table=bt, kv_cache_layout="HND")
+    out = fn(q, kp, vp)
+    ref32 = mha_reference_varlen(q, k, v, cu_q, cu_k, causal=True,
+                                 upcast=True)
+    refnat = mha_reference_varlen(q, k, v, cu_q, cu_k, causal=True,
+                                  upcast=False)
+    assert_fwd_close(out, ref32, refnat)
+
+    # no O(Tk*Hk*D) gathered copy: scan every intermediate for a
+    # packed-KV-sized buffer (B * pages_per_seq * ps tokens)
+    B = len(lens_k)
+    mp = -(-msk // ps)
+    banned = {(B * mp * ps, Hk, D), (B, mp * ps, Hk, D)}
+    jaxpr = jax.make_jaxpr(fn)(q, kp, vp)
+    for eqn in jaxpr.jaxpr.eqns:
+        for var in eqn.outvars:
+            assert tuple(var.aval.shape) not in banned, (
+                eqn.primitive, var.aval.shape)
