@@ -86,12 +86,17 @@ if "bs" in sys.argv:
 
 if "ceiling" in sys.argv:
     # force every live tile through the FAST path (WRONG numerics — cost
-    # probe only): isolates what the semi/general mask pipeline costs on
-    # the causal diagonal tiles.
+    # probe only): isolates what the range-mask pipeline costs on the
+    # causal diagonal tiles.
+    import jax.numpy as _jnp
     from flash_attn_v100_tpu.ops.pallas import varlen as _vl
+    _orig_fb = _vl.fast_bounds
 
-    def _always_fast(params, qagg_ref, kagg_ref, qi, ki):
-        return (qi == qi)
+    def _always_fast(lo_row, hi_row, num_blocks, block):
+        return _jnp.stack([
+            _jnp.full((num_blocks,), -2**30, _jnp.int32),
+            _jnp.full((num_blocks,), 2**30, _jnp.int32)])
 
-    _vl._tile_fast = _always_fast
+    _vl.fast_bounds = _always_fast
     bench([2048] * 8, True, "8x2048 causal CEILING(all-fast)")
+    _vl.fast_bounds = _orig_fb

@@ -85,6 +85,42 @@ def live_pairs(num_q_blocks: int, num_kv_blocks: int, block_q: int,
             np.asarray(firsts, np.int32), np.asarray(lasts, np.int32))
 
 
+def live_pairs_unrolled(num_q_blocks: int, num_kv_blocks: int, block_q: int,
+                        block_k: int, offset: int,
+                        params: masklib.MaskParams, unroll: int):
+    """Unrolled live-pair map: each grid step visits `unroll` consecutive
+    live kv tiles of one q tile (independent double-buffered DMA streams),
+    amortizing the fixed per-grid-step cost over unroll x the MXU work —
+    the prefill analog of the decode kernel's kv_unroll.
+
+    Returns a (3 + 2*unroll, T) int32 array: rows [qi, first, last,
+    ki_0..ki_{U-1}, live_0..live_{U-1}].  Dead sub-slots (ragged tail of a
+    q tile's kv range) alias the last live tile with live=0."""
+    wr = params.effective_window_right()
+    wl = params.window_left
+    cols = []
+    for qi in range(num_q_blocks):
+        lo, hi = 0, num_kv_blocks - 1
+        if wr >= 0:
+            hi = min(hi, (qi * block_q + block_q - 1 + offset + wr) // block_k)
+        if wl >= 0:
+            lo = max(lo, (qi * block_q + offset - wl) // block_k)
+        placeholder = hi < lo
+        if placeholder:  # no live kv: one fully-masked placeholder step
+            lo = hi = min(max(lo, 0), num_kv_blocks - 1)
+        lo = max(lo, 0)
+        steps = -(-(hi - lo + 1) // unroll)
+        for s in range(steps):
+            kis, lives = [], []
+            for u in range(unroll):
+                j = lo + s * unroll + u
+                kis.append(min(j, hi))
+                lives.append(0 if (j > hi or (placeholder and u > 0)) else 1)
+            cols.append([qi, 1 if s == 0 else 0, 1 if s == steps - 1 else 0]
+                        + kis + lives)
+    return np.asarray(cols, np.int32).T.copy()
+
+
 def build_seed_vec(dropout_seed, pos_base=None) -> jnp.ndarray:
     """(6,) uint32 SMEM vector [s0, s1, q_pos0, k_pos0, b0, h0] consumed by
     the dropout path of the dense kernels.  `pos_base` shifts Philox keying
@@ -98,8 +134,8 @@ def build_seed_vec(dropout_seed, pos_base=None) -> jnp.ndarray:
 
 
 def _fwd_kernel(
-    # scalar prefetch: the flattened live-pair maps, one (4, T) i32 array
-    # [qi; ki; first; last] (one SMEM operand instead of four)
+    # scalar prefetch: the flattened (unrolled) live-pair maps, one
+    # (3 + 2*unroll, T) i32 array [qi; first; last; ki_u...; live_u...]
     pairs_ref,
     *refs,
     params: masklib.MaskParams,
@@ -111,6 +147,7 @@ def _fwd_kernel(
     block_q: int,
     block_k: int,
     offset: int,
+    unroll: int = 1,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -123,24 +160,24 @@ def _fwd_kernel(
     if has_dropout:
         seed_ref = refs[idx]
         idx += 1
-    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[idx:]
+    q_ref = refs[idx]
+    kv_refs = refs[idx + 1: idx + 1 + 2 * unroll]
+    o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[idx + 1 + 2 * unroll:]
 
     b, h, t = (pl.program_id(i) for i in range(3))
     qi = pairs_ref[0, t]
-    ki = pairs_ref[1, t]
     q_start = qi * block_q
-    k_start = ki * block_k
     padded_q = seqlen_q % block_q != 0
     padded_k = seqlen_k % block_k != 0
     needs_p_zero = params.window_left >= 0 or offset < 0
 
-    @pl.when(pairs_ref[2, t] == 1)
+    @pl.when(pairs_ref[1, t] == 1)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, NEG_INF)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    def body(masked: bool):
+    def body(masked: bool, k_ref, v_ref, k_start):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
@@ -210,25 +247,34 @@ def _fwd_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    # fast path: tiles with no masked element skip the iota/compare/where
-    # pipeline — the live-pair enumeration already removed fully-masked tiles
-    if params.needs_position_mask or padded_q or padded_k:
-        full = masklib.block_fully_valid(
-            q_start, block_q, k_start, block_k, offset, params,
-            seqlen_q=seqlen_q if padded_q else None,
-            seqlen_k=seqlen_k if padded_k else None)
+    # per sub-tile: fast path skips the iota/compare/where pipeline on
+    # tiles with no masked element — the live-pair enumeration already
+    # removed fully-masked tiles (dead unroll slots carry live == 0)
+    for u in range(unroll):
+        k_ref, v_ref = kv_refs[2 * u], kv_refs[2 * u + 1]
+        k_start = pairs_ref[3 + u, t] * block_k
+        live = pairs_ref[3 + unroll + u, t] == 1
+        if params.needs_position_mask or padded_q or padded_k:
+            full = masklib.block_fully_valid(
+                q_start, block_q, k_start, block_k, offset, params,
+                seqlen_q=seqlen_q if padded_q else None,
+                seqlen_k=seqlen_k if padded_k else None)
 
-        @pl.when(full)
-        def _fast():
-            body(masked=False)
+            @pl.when(live & full)
+            def _fast(k_ref=k_ref, v_ref=v_ref, k_start=k_start):
+                body(False, k_ref, v_ref, k_start)
 
-        @pl.when(jnp.logical_not(full))
-        def _masked():
-            body(masked=True)
-    else:
-        body(masked=False)
+            @pl.when(live & jnp.logical_not(full))
+            def _masked(k_ref=k_ref, v_ref=v_ref, k_start=k_start):
+                body(True, k_ref, v_ref, k_start)
+        elif unroll > 1:
+            @pl.when(live)
+            def _live(k_ref=k_ref, v_ref=v_ref, k_start=k_start):
+                body(False, k_ref, v_ref, k_start)
+        else:
+            body(False, k_ref, v_ref, k_start)
 
-    @pl.when(pairs_ref[3, t] == 1)
+    @pl.when(pairs_ref[2, t] == 1)
     def _store():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
@@ -254,6 +300,7 @@ def flash_attn_dense_fwd(
     offset: Optional[int] = None,
     pos_base=None,  # (q0, k0, b0, h0) traced int32 scalars (ring attention)
     num_heads_total: Optional[int] = None,
+    kv_unroll: int = 1,  # live kv tiles per grid step (decode's kv_unroll)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (out (B, M, Hq, D), lse (B, Hq, M) fp32).
 
@@ -290,9 +337,10 @@ def flash_attn_dense_fwd(
 
     num_q_blocks = Mp // bq
     num_kv_blocks = Np // bk
-    qi_of, ki_of, first_of, last_of = live_pairs(
-        num_q_blocks, num_kv_blocks, bq, bk, offset, params)
-    grid = (B, Hq, len(qi_of))
+    U = max(1, int(kv_unroll))
+    pairs_np = live_pairs_unrolled(
+        num_q_blocks, num_kv_blocks, bq, bk, offset, params, U)
+    grid = (B, Hq, pairs_np.shape[1])
 
     in_specs = []
     inputs = []
@@ -308,12 +356,14 @@ def flash_attn_dense_fwd(
     in_specs += [
         pl.BlockSpec((1, 1, bq, D),
                      lambda b, h, t, mp: (b, h, mp[0, t], 0)),
-        pl.BlockSpec((1, 1, bk, D),
-                     lambda b, h, t, mp: (b, h // group, mp[1, t], 0)),
-        pl.BlockSpec((1, 1, bk, D),
-                     lambda b, h, t, mp: (b, h // group, mp[1, t], 0)),
     ]
-    inputs += [qt, kt, vt]
+    inputs += [qt]
+    for u in range(U):
+        kvmap = (lambda u: lambda b, h, t, mp:
+                 (b, h // group, mp[3 + u, t], 0))(u)
+        in_specs += [pl.BlockSpec((1, 1, bk, D), kvmap),
+                     pl.BlockSpec((1, 1, bk, D), kvmap)]
+        inputs += [kt, vt]
 
     out_shape = (
         jax.ShapeDtypeStruct((B, Hq, Mp, D), q.dtype),
@@ -335,7 +385,7 @@ def flash_attn_dense_fwd(
         _fwd_kernel,
         params=params, softmax_scale=softmax_scale, dropout_p=dropout_p,
         seqlen_q=M, seqlen_k=N, num_heads=num_heads_total,
-        block_q=bq, block_k=bk, offset=offset,
+        block_q=bq, block_k=bk, offset=offset, unroll=U,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -346,7 +396,7 @@ def flash_attn_dense_fwd(
         scratch_shapes=scratch_shapes,
     )
 
-    pairs = jnp.asarray(np.stack([qi_of, ki_of, first_of, last_of]))
+    pairs = jnp.asarray(pairs_np)
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

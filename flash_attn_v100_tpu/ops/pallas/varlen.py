@@ -154,6 +154,17 @@ def block_ranges(lo_row, hi_row, num_blocks: int, block: int,
     return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 
+def fast_bounds(lo_row, hi_row, num_blocks: int, block: int):
+    """(2, num_blocks) int32 [max lo_row, min hi_row] per block: a tile of
+    the other axis is FULLY valid for every row of this block iff its index
+    range lies within [row 0, row 1] — the fast-path predicate as two SMEM
+    scalar compares.  Padding rows carry lo=BIG, so blocks containing them
+    can never take the fast path."""
+    lo = jnp.max(lo_row.reshape(num_blocks, block), axis=1)
+    hi = jnp.min(hi_row.reshape(num_blocks, block), axis=1)
+    return jnp.stack([lo, hi]).astype(jnp.int32)
+
+
 def flatten_live_windows(lo, hi, num_blocks: int, max_steps: int):
     """Flatten per-block live ranges [lo_i, hi_i] into ONE packed grid axis —
     the varlen analog of the dense kernels' flattened live-pair grid.
@@ -263,62 +274,6 @@ def _tile_overlaps(qagg_ref, kagg_ref, qi, ki):
             & (q_max >= 0) & (k_max >= 0))
 
 
-def _tile_uniform(qagg_ref, kagg_ref, qi, ki):
-    """Every (row, col) of the tile lies in ONE common sequence."""
-    qs_min, qs_max = qagg_ref[0, qi], qagg_ref[1, qi]
-    ks_min, ks_max = kagg_ref[0, ki], kagg_ref[1, ki]
-    return ((qs_min == qs_max) & (ks_min == ks_max) & (qs_min == ks_min)
-            & (qs_min >= 0))
-
-
-def _tile_fast(params: masklib.MaskParams, qagg_ref, kagg_ref, qi, ki):
-    """Fast-path predicate from the prefetched block aggregates: every
-    (row, col) of the tile is in one common sequence and unmasked."""
-    fast = _tile_uniform(qagg_ref, kagg_ref, qi, ki)
-    wr = params.effective_window_right()
-    if wr >= 0:
-        # max k_pos <= min (q_pos + offs) + wr
-        fast &= kagg_ref[3, ki] <= qagg_ref[2, qi] + wr
-    if params.window_left >= 0:
-        fast &= kagg_ref[2, ki] >= qagg_ref[3, qi] - params.window_left
-    return fast
-
-
-def _semifast_mask(params: masklib.MaskParams, qagg_ref, kagg_ref, qi, ki,
-                   q_start, k_start, block_q: int, block_k: int,
-                   transposed: bool = False):
-    """Causal/window mask of a UNIFORM-sequence tile as scalar-threshold
-    compares against the static local iota diff — replaces the per-token
-    ragged pipeline on diagonal tiles (the dense kernels' block-local form
-    with a traced threshold).
-
-    t_q - t_k (the row-4 aggregates) equals offs + base_k - base_q of the
-    common sequence; valid_causal(row, col) <=> (col + k_start) - (row +
-    q_start) <= t_q - t_k."""
-    if transposed:
-        q_axis, k_axis = 1, 0
-        shape = (block_k, block_q)
-    else:
-        q_axis, k_axis = 0, 1
-        shape = (block_q, block_k)
-    diff = (jax.lax.broadcasted_iota(jnp.int32, shape, k_axis)
-            - jax.lax.broadcasted_iota(jnp.int32, shape, q_axis))
-    thr = (qagg_ref[4, qi] - kagg_ref[4, ki]) + q_start - k_start
-    valid = None
-
-    def conj(a, b):
-        return b if a is None else a & b
-
-    wr = params.effective_window_right()
-    if wr >= 0:
-        valid = conj(valid, diff <= thr + wr)
-    if params.window_left >= 0:
-        valid = conj(valid, diff >= thr - params.window_left)
-    if valid is None:
-        valid = jnp.ones(shape, jnp.bool_)
-    return valid
-
-
 def _slope_tokens(alibi_slopes, q_seg, Hq):
     """(B, Hq) slopes -> per-q-token (Hq, Tqp) fp32 (segment-gathered)."""
     seg_c = jnp.clip(q_seg, 0, alibi_slopes.shape[0] - 1)
@@ -333,6 +288,8 @@ def _varlen_fwd_kernel(
     qof_ref,      # scalar-prefetch: (max_steps+1,) q block of flat step
     kof_ref,      # scalar-prefetch: (max_steps,) kv block of flat step
     hi_ref,       # scalar-prefetch: (num_q_blocks,) last live kv block
+    fb_ref,       # scalar-prefetch: (2, num_q_blocks) fast bounds
+                  #   [max k_lo_row, min k_hi_row] per q block
     qagg_ref,     # scalar-prefetch: (6, num_q_blocks) block aggregates
     kagg_ref,     # scalar-prefetch: (6, num_kv_blocks)
     *refs,
@@ -343,18 +300,24 @@ def _varlen_fwd_kernel(
     block_q: int,
     block_k: int,
     num_kv_blocks_total: int,
-    skip_p_zero: bool = False,
     paged: bool = False,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
+    has_posvec = has_alibi or has_dropout
     idx = 0
     slope_ref = seed_ref = None
     if has_alibi:
         slope_ref = refs[idx]; idx += 1
     if has_dropout:
         seed_ref = refs[idx]; idx += 1
-    (q_ref, k_ref, v_ref, qseg_ref, qpos_ref, qoff_ref, kseg_ref, kpos_ref,
+    qseg_ref = qpos_ref = qoff_ref = kpos_ref = None
+    if has_posvec:
+        # positional vectors ride along ONLY for alibi's distance bias and
+        # dropout's position-keyed Philox — masking never touches them
+        qseg_ref, qpos_ref, qoff_ref, kpos_ref = refs[idx:idx + 4]
+        idx += 4
+    (q_ref, k_ref, v_ref, klo_ref, khi_ref,
      o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs[idx:]
 
     h, t = pl.program_id(0), pl.program_id(1)
@@ -375,9 +338,17 @@ def _varlen_fwd_kernel(
 
     # the flat axis visits only [lo, hi] pairs; ki > hi happens solely on
     # the single placeholder step of an empty (fully-masked) q block.  Seg
-    # overlap (SMEM block aggregates) still trims interior gaps of
-    # multi-sequence tiles.
+    # overlap (SMEM block aggregates) still trims interior page-slot gaps
+    # of multi-sequence tiles (paged virtual coords).
     run = (ki <= hi_ref[qi]) & _tile_overlaps(qagg_ref, kagg_ref, qi, ki_c)
+    # scalar tile classification from the prefetched per-block bounds:
+    #   skip_lo: every row's range STARTS at/before this tile -> the lower
+    #     compare is statically true tile-wide (the causal-diagonal common
+    #     case) AND no row is still fully masked (its m would be -inf), so
+    #     the p-zero pass is skippable too;
+    #   fast: additionally every row's range COVERS the tile -> no mask.
+    skip_lo = fb_ref[0, qi] <= ki * block_k
+    fast = skip_lo & (fb_ref[1, qi] >= ki * block_k + block_k - 1)
 
     # softmax in the exp2 domain unless softcap's tanh needs natural scale
     # (same trick as fwd.py; lse converts at the store)
@@ -385,7 +356,7 @@ def _varlen_fwd_kernel(
     c = LOG2E if use_exp2 else 1.0
     expf = jnp.exp2 if use_exp2 else jnp.exp
 
-    def body(mode: str):
+    def body(masked: int):  # 0 = none, 1 = upper compare only, 2 = full
         q = q_ref[0]
         # paged: the K/V tile is a pool PAGE fetched through the
         # scalar-prefetched block table (4D block (1, 1, ps, D)) — the
@@ -394,34 +365,31 @@ def _varlen_fwd_kernel(
         k = k_ref[0, 0] if paged else k_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        s = s * (softmax_scale * c)
 
         valid = None
-        if mode == "general":
-            offs = qoff_ref[...]
-            alibi_slope = (slope_ref[0] * c) if has_alibi else None  # (bq, 1)
-            s, valid = masklib.apply_score_pipeline_ragged(
-                s, qpos_ref[...], kpos_ref[...], qseg_ref[...], kseg_ref[...],
-                offs, softmax_scale=softmax_scale * c, params=params,
-                alibi_slope=alibi_slope,
-            )
-        else:
-            # fast (fully valid) / semi (uniform-sequence diagonal): no
-            # per-token segment pipeline; softcap is position-free
-            s = s * (softmax_scale * c)
-            if params.softcap > 0.0:
-                s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
-            if mode == "semi":
-                valid = _semifast_mask(
-                    params, qagg_ref, kagg_ref, qi, ki_c,
-                    qi * block_q, ki * block_k, block_q, block_k)
-                s = jnp.where(valid, s, NEG_INF)
-                if skip_p_zero:
-                    # single-sequence tile, window_left < 0, offs == 0
-                    # statically guaranteed: every row's first visited tile
-                    # contains its col 0, so m is finite by the time any
-                    # masked col shows up and exp underflows to exact 0 —
-                    # the dense kernels' needs_p_zero rule (fwd.py)
-                    valid = None
+        if has_alibi:
+            # distance bias needs real positions (fast tiles too); the mask
+            # still comes from the per-row ranges below
+            rel = kpos_ref[...] - qoff_ref[...]
+            s = s - (slope_ref[0] * c) * jnp.abs(
+                qpos_ref[...] - rel).astype(jnp.float32)
+        if params.softcap > 0.0:
+            s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
+        if masked:
+            # EVERY mask this kernel supports (bounds, causal, window,
+            # seqused, leftpad, segment) makes each q row's valid k set one
+            # CONTIGUOUS global range [k_lo_row, k_hi_row] — precomputed
+            # host-side (build_ragged_info), so the whole ragged pipeline
+            # is at most two compares against the static column iota.  This
+            # is the reference's BlockInfo bounds walk
+            # (include/template.h:55-111) reduced to its closed form.
+            gcol = (jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1) + ki * block_k)
+            valid = gcol <= khi_ref[...]
+            if masked == 2:
+                valid &= gcol >= klo_ref[...]
+            s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
@@ -429,7 +397,11 @@ def _varlen_fwd_kernel(
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = expf(m_prev - m_next)
         p = expf(s - m_next[:, :1])
-        if valid is not None:
+        if masked == 2:
+            # a row whose live range starts in a LATER tile has m == -inf
+            # here; exp(-inf - -inf) = 1 must be zeroed.  masked == 1 tiles
+            # can't contain such rows (every row already started), so their
+            # masked entries underflow to exact 0 against the finite m.
             p = jnp.where(valid, p, 0.0)
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
@@ -447,28 +419,17 @@ def _varlen_fwd_kernel(
                                  preferred_element_type=jnp.float32)
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    if has_alibi:
-        # alibi needs per-element positions anyway; single general path
-        @pl.when(run)
-        def _compute():
-            body("general")
-    else:
-        # ki may run past the live range on dead window steps: aggregate
-        # lookups use the clipped ki_c (run is False there anyway)
-        uniform = _tile_uniform(qagg_ref, kagg_ref, qi, ki_c)
-        fast = _tile_fast(params, qagg_ref, kagg_ref, qi, ki_c)
+    @pl.when(run & fast)
+    def _fast():
+        body(0)
 
-        @pl.when(run & fast)
-        def _fast():
-            body("fast")
+    @pl.when(run & skip_lo & jnp.logical_not(fast))
+    def _upper():
+        body(1)
 
-        @pl.when(run & uniform & jnp.logical_not(fast))
-        def _semi():
-            body("semi")
-
-        @pl.when(run & jnp.logical_not(uniform))
-        def _general():
-            body("general")
+    @pl.when(run & jnp.logical_not(skip_lo))
+    def _general():
+        body(2)
 
     last = (t == pl.num_programs(1) - 1) | (qof_ref[t + 1] != qi)
 
@@ -530,6 +491,7 @@ def flash_attn_varlen_fwd(
     num_q_blocks, num_kv_blocks = Tqp // bq, Tkp // bk
     kv_lo, kv_hi = block_ranges(k_lo_row, k_hi_row, num_q_blocks, bq, bk,
                                 num_kv_blocks)
+    fb = fast_bounds(k_lo_row, k_hi_row, num_q_blocks, bq)
     q_agg = block_aggregates(q_seg, q_pos + q_offs, num_q_blocks, bq)
     k_agg = block_aggregates(k_seg, k_pos, num_kv_blocks, bk)
 
@@ -537,7 +499,7 @@ def flash_attn_varlen_fwd(
     # pairs — total steps = sum of live spans (a traced dynamic grid dim),
     # so mixed-length batches pay ZERO dead steps for the long tail (the
     # per-q-block max-window grid padded every q block to the longest
-    # window; measured 41 -> 55+ TF/s on the 37..4096 mixed sweep).
+    # window).
     max_steps = num_q_blocks * num_kv_blocks
     qof, kof, total = flatten_live_windows(kv_lo, kv_hi, num_q_blocks,
                                            max_steps)
@@ -546,6 +508,7 @@ def flash_attn_varlen_fwd(
     qb = lambda qof_, t: qof_[t]
     kb = lambda kof_, t: jnp.minimum(kof_[t], num_kv_blocks - 1)
 
+    has_posvec = params.has_alibi or dropout_p > 0.0
     in_specs, inputs = [], []
     if params.has_alibi:
         slope_tok = _slope_tokens(alibi_slopes, q_seg, Hq)  # (Hq, Tqp)
@@ -558,6 +521,13 @@ def flash_attn_varlen_fwd(
 
     qcol = lambda h, t, qof_, *_: (qb(qof_, t), 0)
     krow = lambda h, t, qof_, kof_, *_: (0, kb(kof_, t))
+    if has_posvec:
+        # positional vectors only feed alibi's bias / dropout's Philox;
+        # masking runs off the per-row [k_lo, k_hi] ranges below
+        in_specs += [pl.BlockSpec((bq, 1), qcol)] * 3
+        in_specs += [pl.BlockSpec((1, bk), krow)]
+        inputs += [q_seg[:, None], q_pos[:, None], q_offs[:, None],
+                   k_pos[None, :]]
     in_specs += [
         pl.BlockSpec((1, bq, D), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)),
         pl.BlockSpec((1, bk, D),
@@ -568,16 +538,11 @@ def flash_attn_varlen_fwd(
                                                    kb(kof_, t), 0)),
         pl.BlockSpec((bq, 1), qcol),
         pl.BlockSpec((bq, 1), qcol),
-        pl.BlockSpec((bq, 1), qcol),
-        pl.BlockSpec((1, bk), krow),
-        pl.BlockSpec((1, bk), krow),
     ]
-    inputs += [qt, kt, vt,
-               q_seg[:, None], q_pos[:, None], q_offs[:, None],
-               k_seg[None, :], k_pos[None, :]]
+    inputs += [qt, kt, vt, k_lo_row[:, None], k_hi_row[:, None]]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
@@ -590,20 +555,12 @@ def flash_attn_varlen_fwd(
             pltpu.VMEM((bq, D), jnp.float32),
         ],
     )
-    # the semi path's p-zero pass is skippable exactly when no row's FIRST
-    # visited tile can be fully masked (dense needs_p_zero rule): no left
-    # window and per-sequence offs == 0.  offs == 0 is static only for
-    # self-attention packing (`self_kv`, no seqused/leftpad) — an
-    # optimization trigger, not a semantics switch (misses merely keep
-    # the where).
-    skip_p_zero = (params.window_left < 0 and self_kv
-                   and seqused_k is None and leftpad_k is None)
+    del self_kv  # p-zeroing is unconditional on masked tiles now
     out, lse = pl.pallas_call(
         functools.partial(
             _varlen_fwd_kernel, params=params, softmax_scale=softmax_scale,
             dropout_p=dropout_p, num_heads=Hq,
             block_q=bq, block_k=bk, num_kv_blocks_total=num_kv_blocks,
-            skip_p_zero=skip_p_zero,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -614,19 +571,19 @@ def flash_attn_varlen_fwd(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qof, kof, kv_hi, q_agg, k_agg, *inputs)
+    )(qof, kof, kv_hi, fb, q_agg, k_agg, *inputs)
 
     out = jnp.swapaxes(out[:, :Tq], 0, 1)
     lse = lse[:, :Tq, 0]
     return out, lse
 
 
-def _varlen_fwd_kernel_paged(qof_ref, kof_ref, tbl_ref, hi_ref, qagg_ref,
-                             kagg_ref, *refs, **kw):
+def _varlen_fwd_kernel_paged(qof_ref, kof_ref, tbl_ref, hi_ref, fb_ref,
+                             qagg_ref, kagg_ref, *refs, **kw):
     """Paged entry: the block table rides as the 3rd scalar-prefetch arg
     (consumed only by the K/V index maps); the body is the shared kernel."""
-    return _varlen_fwd_kernel(qof_ref, kof_ref, hi_ref, qagg_ref, kagg_ref,
-                              *refs, **kw)
+    return _varlen_fwd_kernel(qof_ref, kof_ref, hi_ref, fb_ref, qagg_ref,
+                              kagg_ref, *refs, **kw)
 
 
 def flash_attn_varlen_fwd_paged(
@@ -693,6 +650,7 @@ def flash_attn_varlen_fwd_paged(
     num_q_blocks, num_kv_blocks = Tqp // bq, B * mp
     kv_lo, kv_hi = block_ranges(k_lo_row, k_hi_row, num_q_blocks, bq, bk,
                                 num_kv_blocks)
+    fb = fast_bounds(k_lo_row, k_hi_row, num_q_blocks, bq)
     q_agg = block_aggregates(q_seg, q_pos + q_offs, num_q_blocks, bq)
     k_agg = block_aggregates(k_seg, k_pos, num_kv_blocks, bk)
 
@@ -710,30 +668,28 @@ def flash_attn_varlen_fwd_paged(
         return (h // group, tbl_[s // mp, s % mp], 0, 0)
 
     in_specs, inputs = [], []
+    qcol = lambda h, t, qof_, *_: (qb(qof_, t), 0)
+    krow = lambda h, t, qof_, kof_, *_: (0, kb(kof_, t))
     if params.has_alibi:
         slope_tok = _slope_tokens(alibi_slopes, q_seg, Hq)
         in_specs.append(pl.BlockSpec(
             (1, bq, 1), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)))
         inputs.append(slope_tok[:, :, None])
-
-    qcol = lambda h, t, qof_, *_: (qb(qof_, t), 0)
-    krow = lambda h, t, qof_, kof_, *_: (0, kb(kof_, t))
+        in_specs += [pl.BlockSpec((bq, 1), qcol)] * 3
+        in_specs += [pl.BlockSpec((1, bk), krow)]
+        inputs += [q_seg[:, None], q_pos[:, None], q_offs[:, None],
+                   k_pos[None, :]]
     in_specs += [
         pl.BlockSpec((1, bq, D), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)),
         pl.BlockSpec((1, 1, bk, D), page_map),
         pl.BlockSpec((1, 1, bk, D), page_map),
         pl.BlockSpec((bq, 1), qcol),
         pl.BlockSpec((bq, 1), qcol),
-        pl.BlockSpec((bq, 1), qcol),
-        pl.BlockSpec((1, bk), krow),
-        pl.BlockSpec((1, bk), krow),
     ]
-    inputs += [qt, k_pool, v_pool,
-               q_seg[:, None], q_pos[:, None], q_offs[:, None],
-               k_seg[None, :], k_pos[None, :]]
+    inputs += [qt, k_pool, v_pool, k_lo_row[:, None], k_hi_row[:, None]]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
@@ -752,7 +708,7 @@ def flash_attn_varlen_fwd_paged(
             softmax_scale=softmax_scale,
             dropout_p=0.0, num_heads=Hq,
             block_q=bq, block_k=bk, num_kv_blocks_total=num_kv_blocks,
-            skip_p_zero=False, paged=True,
+            paged=True,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -763,7 +719,7 @@ def flash_attn_varlen_fwd_paged(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qof, kof, tbl, kv_hi, q_agg, k_agg, *inputs)
+    )(qof, kof, tbl, kv_hi, fb, q_agg, k_agg, *inputs)
 
     return jnp.swapaxes(out[:, :Tq], 0, 1), lse[:, :Tq, 0]
 
@@ -775,6 +731,7 @@ def flash_attn_varlen_fwd_paged(
 def _varlen_dq_kernel(
     qof_ref, kof_ref,  # scalar-prefetch: flat live-pair step maps
     hi_ref,            # scalar-prefetch: per-q-block last live kv block
+    fb_ref,            # scalar-prefetch: (2, n) fast bounds per q block
     qagg_ref, kagg_ref,  # scalar-prefetch: (6, n) block aggregates
     *refs,
     params, softmax_scale, dropout_p, num_heads, block_q, block_k,
@@ -782,15 +739,19 @@ def _varlen_dq_kernel(
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
+    has_posvec = has_alibi or has_dropout
     idx = 0
     slope_ref = seed_ref = None
     if has_alibi:
         slope_ref = refs[idx]; idx += 1
     if has_dropout:
         seed_ref = refs[idx]; idx += 1
+    qseg_ref = qpos_ref = qoff_ref = kpos_ref = None
+    if has_posvec:
+        qseg_ref, qpos_ref, qoff_ref, kpos_ref = refs[idx:idx + 4]
+        idx += 4
     (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-     qseg_ref, qpos_ref, qoff_ref, kseg_ref, kpos_ref,
-     dq_ref, dq_acc) = refs[idx:]
+     klo_ref, khi_ref, dq_ref, dq_acc) = refs[idx:]
 
     h, t = pl.program_id(0), pl.program_id(1)
     qi = qof_ref[t]           # flat live-pair axis (see fwd kernel)
@@ -804,32 +765,32 @@ def _varlen_dq_kernel(
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
     run = (ki <= hi_ref[qi]) & _tile_overlaps(qagg_ref, kagg_ref, qi, ki_c)
+    skip_lo = fb_ref[0, qi] <= ki * block_k
+    fast = skip_lo & (fb_ref[1, qi] >= ki * block_k + block_k - 1)
 
-    def body(mode: str):
+    def body(masked: int):  # 0 = none, 1 = upper compare only, 2 = full
         q = q_ref[0]
         kk = k_ref[0]
         vv = v_ref[0]
         do = do_ref[0]
         s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        if mode == "general":
-            alibi_slope = slope_ref[0] if has_alibi else None
-            s, valid = masklib.apply_score_pipeline_ragged(
-                s, qpos_ref[...], kpos_ref[...], qseg_ref[...], kseg_ref[...],
-                qoff_ref[...],
-                softmax_scale=softmax_scale, params=params,
-                alibi_slope=alibi_slope,
-            )
-        else:
-            s = s * softmax_scale
-            if params.softcap > 0.0:
-                s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
-            valid = None
-            if mode == "semi":
-                valid = _semifast_mask(
-                    params, qagg_ref, kagg_ref, qi, ki_c,
-                    qi * block_q, ki * block_k, block_q, block_k)
-                s = jnp.where(valid, s, NEG_INF)
+        s = s * softmax_scale
+        valid = None
+        if has_alibi:
+            rel = kpos_ref[...] - qoff_ref[...]
+            s = s - slope_ref[0] * jnp.abs(
+                qpos_ref[...] - rel).astype(jnp.float32)
+        if params.softcap > 0.0:
+            s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
+        if masked:
+            # per-row contiguous [k_lo, k_hi] range mask (see fwd kernel)
+            gcol = (jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1) + ki * block_k)
+            valid = gcol <= khi_ref[...]
+            if masked == 2:
+                valid &= gcol >= klo_ref[...]
+            s = jnp.where(valid, s, NEG_INF)
         lse_rows = lse_ref[0]      # (bq, 1)
         delta_rows = delta_ref[0]
         if valid is not None:
@@ -851,25 +812,17 @@ def _varlen_dq_kernel(
             ds.astype(kk.dtype), kk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    if has_alibi:
-        @pl.when(run)
-        def _compute():
-            body("general")
-    else:
-        uniform = _tile_uniform(qagg_ref, kagg_ref, qi, ki_c)
-        fast = _tile_fast(params, qagg_ref, kagg_ref, qi, ki_c)
+    @pl.when(run & fast)
+    def _fast():
+        body(0)
 
-        @pl.when(run & fast)
-        def _fast():
-            body("fast")
+    @pl.when(run & skip_lo & jnp.logical_not(fast))
+    def _upper():
+        body(1)
 
-        @pl.when(run & uniform & jnp.logical_not(fast))
-        def _semi():
-            body("semi")
-
-        @pl.when(run & jnp.logical_not(uniform))
-        def _general():
-            body("general")
+    @pl.when(run & jnp.logical_not(skip_lo))
+    def _general():
+        body(2)
 
     last = (t == pl.num_programs(1) - 1) | (qof_ref[t + 1] != qi)
 
@@ -881,6 +834,7 @@ def _varlen_dq_kernel(
 def _varlen_dkv_kernel(
     kiof_ref, qiof_ref, gof_ref,  # scalar-prefetch: grouped flat step maps
     hi_ref,              # scalar-prefetch: per-kv-block last live q block
+    fb_ref,              # scalar-prefetch: (2, n) fast q bounds per kv block
     qagg_ref, kagg_ref,  # scalar-prefetch: (6, n) block aggregates
     *refs,
     params, softmax_scale, dropout_p, num_heads, group, block_q, block_k,
@@ -888,15 +842,19 @@ def _varlen_dkv_kernel(
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
+    has_posvec = has_alibi or has_dropout
     idx = 0
     slope_ref = seed_ref = None
     if has_alibi:
         slope_ref = refs[idx]; idx += 1
     if has_dropout:
         seed_ref = refs[idx]; idx += 1
+    qseg_ref = qpos_ref = qoff_ref = kpos_ref = None
+    if has_posvec:
+        qseg_ref, qpos_ref, qoff_ref, kpos_ref = refs[idx:idx + 4]
+        idx += 4
     (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-     qseg_ref, qpos_ref, qoff_ref, kseg_ref, kpos_ref,
-     dk_ref, dv_ref, dk_acc, dv_acc) = refs[idx:]
+     qlo_ref, qhi_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs[idx:]
 
     hk, t = pl.program_id(0), pl.program_id(1)
     # grouped flat live-pair axis (flatten_live_windows_grouped): kv block
@@ -918,33 +876,35 @@ def _varlen_dkv_kernel(
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
     run = (qi <= hi_ref[ki]) & _tile_overlaps(qagg_ref, kagg_ref, qi_c, ki)
+    # transposed geometry: causal puts the range START (q_lo) on the
+    # diagonal, so the statically-true compare to drop is the UPPER one
+    # (q_hi = sequence end covers the tile)
+    skip_hi = fb_ref[1, ki] >= qi * block_q + block_q - 1
+    fast = skip_hi & (fb_ref[0, ki] <= qi * block_q)
 
-    def body(mode: str):
+    def body(masked: int):  # 0 = none, 1 = lower compare only, 2 = full
         q = q_ref[0]
         kk = k_ref[0]
         vv = v_ref[0]
         do = do_ref[0]
         st = jax.lax.dot_general(kk, q, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # (bk, bq)
-        if mode == "general":
-            alibi_slope = slope_ref[0] if has_alibi else None  # (1, bq)
-            st, valid = masklib.apply_score_pipeline_ragged(
-                st, qpos_ref[...], kpos_ref[...], qseg_ref[...], kseg_ref[...],
-                qoff_ref[...],
-                softmax_scale=softmax_scale, params=params,
-                alibi_slope=alibi_slope,
-            )
-        else:
-            st = st * softmax_scale
-            if params.softcap > 0.0:
-                st = params.softcap * jnp.tanh(st * (1.0 / params.softcap))
-            valid = None
-            if mode == "semi":
-                valid = _semifast_mask(
-                    params, qagg_ref, kagg_ref, qi_c, ki,
-                    qi * block_q, ki * block_k, block_q, block_k,
-                    transposed=True)
-                st = jnp.where(valid, st, NEG_INF)
+        st = st * softmax_scale
+        valid = None
+        if has_alibi:
+            rel = kpos_ref[...] - qoff_ref[...]   # (bk, bq)
+            st = st - slope_ref[0] * jnp.abs(
+                qpos_ref[...] - rel).astype(jnp.float32)
+        if params.softcap > 0.0:
+            st = params.softcap * jnp.tanh(st * (1.0 / params.softcap))
+        if masked:
+            # transposed per-K-ROW contiguous [q_lo, q_hi] range mask
+            grow = (jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, block_q), 1) + qi * block_q)
+            valid = grow >= qlo_ref[...]
+            if masked == 2:
+                valid &= grow <= qhi_ref[...]
+            st = jnp.where(valid, st, NEG_INF)
         lse_cols = lse_ref[0]      # (1, bq)
         delta_cols = delta_ref[0]
         if valid is not None:
@@ -969,25 +929,17 @@ def _varlen_dkv_kernel(
             dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    if has_alibi:
-        @pl.when(run)
-        def _compute():
-            body("general")
-    else:
-        uniform = _tile_uniform(qagg_ref, kagg_ref, qi_c, ki)
-        fast = _tile_fast(params, qagg_ref, kagg_ref, qi_c, ki)
+    @pl.when(run & fast)
+    def _fast():
+        body(0)
 
-        @pl.when(run & fast)
-        def _fast():
-            body("fast")
+    @pl.when(run & skip_hi & jnp.logical_not(fast))
+    def _lower():
+        body(1)
 
-        @pl.when(run & uniform & jnp.logical_not(fast))
-        def _semi():
-            body("semi")
-
-        @pl.when(run & jnp.logical_not(uniform))
-        def _general():
-            body("general")
+    @pl.when(run & jnp.logical_not(skip_hi))
+    def _general():
+        body(2)
 
     last = (t == pl.num_programs(1) - 1) | (kiof_ref[t + 1] != ki)
 
@@ -1064,9 +1016,11 @@ def flash_attn_varlen_bwd(
             feat_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             feat_inputs.append(dropout_seed.astype(jnp.uint32))
 
+        has_posvec = params.has_alibi or dropout_p > 0.0
         if which == "dq":
             kv_lo, kv_hi = block_ranges(k_lo_row, k_hi_row, num_q_blocks, bq,
                                         bk, num_kv_blocks)
+            fb = fast_bounds(k_lo_row, k_hi_row, num_q_blocks, bq)
             # flat live-pair axis — zero dead steps (see fwd)
             qof, kof, total = flatten_live_windows(
                 kv_lo, kv_hi, num_q_blocks, num_q_blocks * num_kv_blocks)
@@ -1076,7 +1030,12 @@ def flash_attn_varlen_bwd(
             kmap = lambda h, t, qof_, kof_, *_: (h // group, kb(kof_, t), 0)
             qcol = lambda h, t, qof_, *_: (qof_[t], 0)
             krow = lambda h, t, qof_, kof_, *_: (0, kb(kof_, t))
-            in_specs = feat_specs + [
+            in_specs = feat_specs + ([
+                pl.BlockSpec((bq, 1), qcol),
+                pl.BlockSpec((bq, 1), qcol),
+                pl.BlockSpec((bq, 1), qcol),
+                pl.BlockSpec((1, bk), krow),
+            ] if has_posvec else []) + [
                 pl.BlockSpec((1, bq, D), qmap),
                 pl.BlockSpec((1, bk, D), kmap),
                 pl.BlockSpec((1, bk, D), kmap),
@@ -1085,18 +1044,17 @@ def flash_attn_varlen_bwd(
                 pl.BlockSpec((1, bq, 1), qmap),
                 pl.BlockSpec((bq, 1), qcol),
                 pl.BlockSpec((bq, 1), qcol),
-                pl.BlockSpec((bq, 1), qcol),
-                pl.BlockSpec((1, bk), krow),
-                pl.BlockSpec((1, bk), krow),
             ]
-            inputs = feat_inputs + [
+            inputs = feat_inputs + ([
+                q_seg[:, None], q_pos[:, None], q_offs[:, None],
+                k_pos[None, :],
+            ] if has_posvec else []) + [
                 qt, kt, vt, dot_,
                 lsep[:, :, None], deltap[:, :, None],
-                q_seg[:, None], q_pos[:, None], q_offs[:, None],
-                k_seg[None, :], k_pos[None, :],
+                k_lo_row[:, None], k_hi_row[:, None],
             ]
             grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=5,
+                num_scalar_prefetch=6,
                 grid=(Hq, total),
                 in_specs=in_specs,
                 out_specs=pl.BlockSpec((1, bq, D), qmap),
@@ -1112,12 +1070,13 @@ def flash_attn_varlen_bwd(
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("parallel", "arbitrary")),
                 interpret=interpret,
-            )(qof, kof, kv_hi, q_agg, k_agg, *inputs)
+            )(qof, kof, kv_hi, fb, q_agg, k_agg, *inputs)
             return jnp.swapaxes(dq[:, :Tq], 0, 1)
 
         # dkv pass
         q_lo, q_hi = block_ranges(q_lo_row, q_hi_row, num_kv_blocks, bk,
                                   bq, num_q_blocks)
+        fb = fast_bounds(q_lo_row, q_hi_row, num_kv_blocks, bk)
         # grouped flat axis: (kv block, GQA group, live q block)
         kiof, qiof, gof, total = flatten_live_windows_grouped(
             q_lo, q_hi, num_kv_blocks, group,
@@ -1131,27 +1090,31 @@ def flash_attn_varlen_bwd(
             hk * group + gof_[t], 0, qb(qiof_, t))
         qrow = lambda hk, t, kiof_, qiof_, gof_, *_: (0, qb(qiof_, t))
         kcol = lambda hk, t, kiof_, *_: (kiof_[t], 0)
-        in_specs = feat_specs + [
+        in_specs = feat_specs + ([
+            pl.BlockSpec((1, bq), qrow),
+            pl.BlockSpec((1, bq), qrow),
+            pl.BlockSpec((1, bq), qrow),
+            pl.BlockSpec((bk, 1), kcol),
+        ] if has_posvec else []) + [
             pl.BlockSpec((1, bq, D), qmap),
             pl.BlockSpec((1, bk, D), kmap),
             pl.BlockSpec((1, bk, D), kmap),
             pl.BlockSpec((1, bq, D), qmap),
             pl.BlockSpec((1, 1, bq), lmap),
             pl.BlockSpec((1, 1, bq), lmap),
-            pl.BlockSpec((1, bq), qrow),
-            pl.BlockSpec((1, bq), qrow),
-            pl.BlockSpec((1, bq), qrow),
             pl.BlockSpec((bk, 1), kcol),
             pl.BlockSpec((bk, 1), kcol),
         ]
-        inputs = feat_inputs + [
+        inputs = feat_inputs + ([
+            q_seg[None, :], q_pos[None, :], q_offs[None, :],
+            k_pos[:, None],
+        ] if has_posvec else []) + [
             qt, kt, vt, dot_,
             lsep[:, None, :], deltap[:, None, :],
-            q_seg[None, :], q_pos[None, :], q_offs[None, :],
-            k_seg[:, None], k_pos[:, None],
+            q_lo_row[:, None], q_hi_row[:, None],
         ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=7,
             grid=(Hk, total),
             in_specs=in_specs,
             out_specs=(
@@ -1176,7 +1139,7 @@ def flash_attn_varlen_bwd(
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
             interpret=interpret,
-        )(kiof, qiof, gof, q_hi, q_agg, k_agg, *inputs)
+        )(kiof, qiof, gof, q_hi, fb, q_agg, k_agg, *inputs)
         return (jnp.swapaxes(dk[:, :Tk], 0, 1), jnp.swapaxes(dv[:, :Tk], 0, 1))
 
     dq = run_pass(bs.block_q_dq, bs.block_k_dq, "dq")
