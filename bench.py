@@ -205,8 +205,12 @@ def main():
                           max_seq_len=2560, dtype=jnp.bfloat16)
         params = init_params(jax.random.PRNGKey(0), cfg)
         n_layers, dim = cfg.n_layers, cfg.dim
-        eng = ServingEngine(params, cfg, max_batch=16, num_pages=560,
-                            page_size=64)
+        # 128-token pages: prefill routes through the in-kernel paged
+        # varlen kernel (q-tile x page grid); smaller pages would push
+        # the 2048-token prefill through the decode-shaped kernel whose
+        # single q tile per kv head exceeds scoped VMEM at this size
+        eng = ServingEngine(params, cfg, max_batch=16, num_pages=290,
+                            page_size=128)
         PLEN, NREQ, NEW = 2048, 24, 64
         prompts = [rng.integers(1, cfg.vocab_size, PLEN).tolist()
                    for _ in range(NREQ)]

@@ -370,24 +370,55 @@ def flash_attn_with_kvcache(
             sr = jnp.pad(sr, ((0, 0), (0, 0), (0, Rq - group * T_new)))
         slopes_rows = sr[..., None]
 
-    # q token positions: bottom-right aligned against the live kv extent —
-    # the first new token sits at lens_total - T_new (== the pre-append
-    # cache_seqlens when appending; reference: fused_mha_forward_kvcache.cu
-    # :177).  In the q-position frame that is qlens - (0 if appended else T).
-    o_part, lse_part = paged_decode_attention(
-        q_rows, pool_k, pool_v, tbl, lens_total, leftpad,
-        qpos_vec=qlens - (0 if appended else T_new),
-        softmax_scale=float(softmax_scale), params=params,
-        t_new=T_new, group=group, num_splits=num_splits,
-        alibi_slopes_rows=slopes_rows,
-        k_scales=pool_ks, v_scales=pool_vs, interpret=interpret,
-        int4=int4,
-    )
-    o, lse = merge_partials(o_part, lse_part)   # (B, Hk, Rq, D), (B, Hk, Rq, 1)
+    # ---- large-T paged prefill: route to the varlen paged kernel ----
+    # The decode kernel folds ALL (group * T_new) q rows into one tile per
+    # kv head — the right shape for decode (T<=8ish) but at prefill sizes
+    # that working set exceeds the 16 MB scoped VMEM and what's needed is
+    # q-BLOCKING: exactly the in-kernel paged varlen forward (q-tile x
+    # page grid with per-row range masks).  Uniform cu_q = b*T_new and
+    # seqlens_k = lens_total reproduce the decode alignment (q offset =
+    # lens_total - T_new, the cache prefix).
+    route_varlen = (paged and not quantized and group * T_new >= 1024
+                    and page_size % 128 == 0 and append_window is None
+                    and q_position_lens is None)
+    if route_varlen:
+        from flash_attn_v100_tpu.ops.pallas.varlen import (
+            flash_attn_varlen_fwd_paged)
+        qp = q.reshape(B * T_new, Hq, D).astype(kdt)
+        cu_q = jnp.arange(B + 1, dtype=jnp.int32) * T_new
+        slopes_bq = None
+        if alibi_slopes is not None:
+            slopes_bq = jnp.asarray(alibi_slopes, jnp.float32)
+            if slopes_bq.ndim == 1:
+                slopes_bq = jnp.broadcast_to(slopes_bq[None], (B, Hq))
+        out, lse_v = flash_attn_varlen_fwd_paged(
+            qp, pool_k[0], pool_v[0], tbl, cu_q, lens_total,
+            T_new, int(tbl.shape[1]) * page_size,
+            float(softmax_scale), params,
+            alibi_slopes=slopes_bq, interpret=interpret)
+        out = out.reshape(B, T_new, Hq, D).astype(dtype_og)
+        lse = jnp.transpose(lse_v.reshape(Hq, B, T_new), (1, 0, 2))
+    else:
+        # q token positions: bottom-right aligned against the live kv
+        # extent — the first new token sits at lens_total - T_new (== the
+        # pre-append cache_seqlens when appending; reference:
+        # fused_mha_forward_kvcache.cu:177).  In the q-position frame that
+        # is qlens - (0 if appended else T).
+        o_part, lse_part = paged_decode_attention(
+            q_rows, pool_k, pool_v, tbl, lens_total, leftpad,
+            qpos_vec=qlens - (0 if appended else T_new),
+            softmax_scale=float(softmax_scale), params=params,
+            t_new=T_new, group=group, num_splits=num_splits,
+            alibi_slopes_rows=slopes_rows,
+            k_scales=pool_ks, v_scales=pool_vs, interpret=interpret,
+            int4=int4,
+        )
+        o, lse = merge_partials(o_part, lse_part)  # (B,Hk,Rq,D), (B,Hk,Rq,1)
 
-    o = o[:, :, :group * T_new].reshape(B, Hk, group, T_new, D)
-    out = o.transpose(0, 3, 1, 2, 4).reshape(B, T_new, Hq, D).astype(dtype_og)
-    lse = lse[:, :, :group * T_new, 0].reshape(B, Hq, T_new)  # head = hk*group+g
+        o = o[:, :, :group * T_new].reshape(B, Hk, group, T_new, D)
+        out = o.transpose(0, 3, 1, 2, 4).reshape(
+            B, T_new, Hq, D).astype(dtype_og)
+        lse = lse[:, :, :group * T_new, 0].reshape(B, Hq, T_new)
 
     results = [out]
     if return_softmax_lse:

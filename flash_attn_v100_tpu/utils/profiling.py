@@ -64,12 +64,44 @@ def summarize_trace(trace_dir: str, top: int = 0) -> List[Tuple[str, float, int]
             continue
         if device_pids and e.get("pid") not in device_pids:
             continue
-        name = e.get("name", "?")
-        agg[name][0] += e["dur"]
-        agg[name][1] += 1
+        agg[_readable_label(e)][0] += e["dur"]
+        agg[_readable_label(e)][1] += 1
     rows = sorted(((n, v[0], v[1]) for n, v in agg.items()),
                   key=lambda r: -r[1])
     return rows[:top] if top else rows
+
+
+# substrings of HLO/kernel symbols -> human names (this package's kernels)
+_KERNEL_NAMES = (
+    ("_fwd_kernel", "dense_fwd (pallas)"),
+    ("_dq_kernel", "bwd_dq (pallas)"),
+    ("_dkv_kernel", "bwd_dkv (pallas)"),
+    ("_varlen_fwd_kernel_paged", "varlen_fwd_paged (pallas)"),
+    ("_varlen_fwd_kernel", "varlen_fwd (pallas)"),
+    ("_varlen_dq_kernel", "varlen_dq (pallas)"),
+    ("_varlen_dkv_kernel", "varlen_dkv (pallas)"),
+    ("_decode_kernel", "kvcache_decode (pallas)"),
+)
+
+
+def _readable_label(e) -> str:
+    """Human label for a trace event: prefer the kernel/op symbol buried in
+    the event args (`long_name` / `hlo_op` / `tf_op`), map this package's
+    pallas kernel symbols to short names, strip jit hash suffixes."""
+    import re
+    name = e.get("name", "?")
+    args = e.get("args", {}) or {}
+    cands = [str(args.get(k, "")) for k in
+             ("long_name", "hlo_op", "tf_op", "name", "kernel_name")]
+    blob = " ".join([name] + cands)
+    for sym, label in _KERNEL_NAMES:
+        if sym in blob:
+            return label
+    # fall back to the event name, de-noised: strip "(12345...)" jit hashes
+    # and trailing ".N" op counters
+    name = re.sub(r"\(\d{6,}\)", "", name)
+    name = re.sub(r"\.\d+$", "", name)
+    return name
 
 
 def profile_ops(fn, *args, iters: int = 3, top: int = 20):

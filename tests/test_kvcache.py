@@ -302,3 +302,39 @@ def test_decode_window_page_boundary(rng, window):
     out = flash_attn_with_kvcache(q, kc, vc, cache_seqlens=cs, causal=True,
                                   window_size=window)
     check(out, q, kc, vc, cache_seqlens=cs, causal=True, window_size=window)
+
+
+def test_paged_prefill_routes_varlen_kernel(rng):
+    """Large-T paged prefill (group*T >= 1024, page %128) routes through the
+    in-kernel paged varlen forward (q-tile x page grid) instead of the
+    decode-shaped kernel whose single folded q tile exceeds scoped VMEM at
+    prefill sizes.  Numerics must match the kvcache oracle exactly as the
+    decode route does: append + causal prefix alignment."""
+    B, T, Hq, Hk, D = 2, 256, 8, 2, 64
+    ps, npages_per_seq, P = 128, 4, 12
+    q = mk(rng, B, T, Hq, D)
+    pool_k, pool_v = mk(rng, P, ps, Hk, D), mk(rng, P, ps, Hk, D)
+    kn, vn = mk(rng, B, T, Hk, D), mk(rng, B, T, Hk, D)
+    table = jnp.asarray([[7, 2, 11, 0], [5, 9, 1, 8]], jnp.int32)
+    cs = jnp.asarray([150, 37], jnp.int32)   # existing cache prefix
+    out, (pk2, pv2) = flash_attn_with_kvcache(
+        q, pool_k, pool_v, k=kn, v=vn, cache_seqlens=cs,
+        block_table=table, causal=True)
+    assert out.shape == (B, T, Hq, D)
+    # oracle: materialize each sequence from the UPDATED pages
+    pk2m, pv2m = np.asarray(pk2, np.float32), np.asarray(pv2, np.float32)
+    kmat = np.zeros((B, ps * npages_per_seq, Hk, D), np.float32)
+    vmat = np.zeros_like(kmat)
+    for b in range(B):
+        for i in range(npages_per_seq):
+            kmat[b, i * ps:(i + 1) * ps] = pk2m[table[b, i]]
+            vmat[b, i * ps:(i + 1) * ps] = pv2m[table[b, i]]
+    # the materialized cache already holds the appended tokens: oracle
+    # attends the full cs + T extent with no further append
+    ref32 = mha_reference_kvcache(
+        q, jnp.asarray(kmat, q.dtype), jnp.asarray(vmat, q.dtype),
+        cache_seqlens=cs + T, causal=True, upcast=True)[0]
+    refnat = mha_reference_kvcache(
+        q, jnp.asarray(kmat, q.dtype), jnp.asarray(vmat, q.dtype),
+        cache_seqlens=cs + T, causal=True, upcast=False)[0]
+    assert_fwd_close(out, ref32, refnat)
