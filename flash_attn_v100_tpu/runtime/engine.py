@@ -238,6 +238,7 @@ class ServingEngine:
                  eos_check_interval: int = 8,
                  prefix_cache: bool = True,
                  prefill_chunk: Optional[int] = None,
+                 max_prefill_seqs: Optional[int] = None,
                  interpret: Optional[bool] = None):
         """`mesh`: a jax.sharding.Mesh for tensor-parallel decode — KV heads
         and their page pools shard over the "model" axis; `params` must
@@ -280,6 +281,15 @@ class ServingEngine:
         if prefill_chunk is not None and prefill_chunk < 1:
             raise ValueError("prefill_chunk must be positive")
         self.prefill_chunk = prefill_chunk
+        # staggered admission: at most this many sequences prefill per step
+        # (the rest stay queued, flagged needs_prefill again next step) — a
+        # burst of long prompts emits first tokens incrementally instead of
+        # all at the end of one giant batched prefill.  Mid-chunk
+        # continuations bypass the cap (deferring them reads as preemption
+        # and would restart their chunks).
+        if max_prefill_seqs is not None and max_prefill_seqs < 1:
+            raise ValueError("max_prefill_seqs must be positive")
+        self.max_prefill_seqs = max_prefill_seqs
         self.params = params
         self.cfg = cfg
         self.page_size = page_size
@@ -556,6 +566,14 @@ class ServingEngine:
             return []
         prefill = [sid for sid, pf in batch if pf]
         decode = [sid for sid, pf in batch if not pf]
+        if self.max_prefill_seqs is not None and len(prefill) > 0:
+            # staggered admission: chunk continuations keep priority (a
+            # deferred continuation reads as preemption and restarts);
+            # deferred sequences stay needs_prefill in the scheduler
+            cont = [s for s in prefill if self._seqs[s].prefill_committed]
+            new = [s for s in prefill if not self._seqs[s].prefill_committed]
+            keep = max(self.max_prefill_seqs, len(cont))
+            prefill = (cont + new)[:keep]
         finished: List[int] = []
         if prefill:
             self._run_prefill(prefill, finished)

@@ -40,10 +40,15 @@ def capture_trace(fn, *args, iters: int = 3, trace_dir: str | None = None) -> st
 
 
 def summarize_trace(trace_dir: str, top: int = 0) -> List[Tuple[str, float, int]]:
-    """Aggregate device-lane events from the trace.json.gz produced by
-    `capture_trace`: [(op_name, total_us, count)] sorted by total time.
-    Host-side lanes (python, dispatch) are excluded by keeping only events
-    from process lanes whose name mentions the device/XLA ops."""
+    """Aggregate per-op device events from the trace.json.gz produced by
+    `capture_trace`: [(label, total_us, count)] sorted by total time.
+
+    Only the device's "XLA Ops" lane is counted — the "XLA Modules" lane
+    carries whole-program spans that would double-count every op, and host
+    lanes carry python/dispatch noise.  Pallas custom-calls are labeled
+    `pallas <module> (<file>:<line>)` from the event's source attribution;
+    other ops keep their HLO name (jit hashes / op counters stripped) plus
+    source when available."""
     files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not files:
@@ -51,57 +56,51 @@ def summarize_trace(trace_dir: str, top: int = 0) -> List[Tuple[str, float, int]
     with gzip.open(sorted(files)[-1], "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
-    # map pid -> process name to find device lanes
-    pid_name = {}
+    ops_lanes = set()
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_name[e["pid"]] = e.get("args", {}).get("name", "")
-    device_pids = {pid for pid, n in pid_name.items()
-                   if "TPU" in n or "/device" in n or "Chip" in n}
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            if e.get("args", {}).get("name") == "XLA Ops":
+                ops_lanes.add((e["pid"], e["tid"]))
     agg = defaultdict(lambda: [0.0, 0])
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        if device_pids and e.get("pid") not in device_pids:
+        if ops_lanes and (e.get("pid"), e.get("tid")) not in ops_lanes:
             continue
-        agg[_readable_label(e)][0] += e["dur"]
-        agg[_readable_label(e)][1] += 1
+        lab = _readable_label(e)
+        agg[lab][0] += e["dur"]
+        agg[lab][1] += 1
     rows = sorted(((n, v[0], v[1]) for n, v in agg.items()),
                   key=lambda r: -r[1])
     return rows[:top] if top else rows
 
 
-# substrings of HLO/kernel symbols -> human names (this package's kernels)
-_KERNEL_NAMES = (
-    ("_fwd_kernel", "dense_fwd (pallas)"),
-    ("_dq_kernel", "bwd_dq (pallas)"),
-    ("_dkv_kernel", "bwd_dkv (pallas)"),
-    ("_varlen_fwd_kernel_paged", "varlen_fwd_paged (pallas)"),
-    ("_varlen_fwd_kernel", "varlen_fwd (pallas)"),
-    ("_varlen_dq_kernel", "varlen_dq (pallas)"),
-    ("_varlen_dkv_kernel", "varlen_dkv (pallas)"),
-    ("_decode_kernel", "kvcache_decode (pallas)"),
-)
+# kernel module file -> subsystem name (for pallas custom-call labels)
+_PALLAS_MODULES = {
+    "fwd.py": "dense_fwd",
+    "bwd.py": "dense_bwd",
+    "varlen.py": "varlen",
+    "decode.py": "kvcache_decode",
+}
 
 
 def _readable_label(e) -> str:
-    """Human label for a trace event: prefer the kernel/op symbol buried in
-    the event args (`long_name` / `hlo_op` / `tf_op`), map this package's
-    pallas kernel symbols to short names, strip jit hash suffixes."""
+    """Human label for an XLA-Ops trace event (see summarize_trace)."""
     import re
     name = e.get("name", "?")
     args = e.get("args", {}) or {}
-    cands = [str(args.get(k, "")) for k in
-             ("long_name", "hlo_op", "tf_op", "name", "kernel_name")]
-    blob = " ".join([name] + cands)
-    for sym, label in _KERNEL_NAMES:
-        if sym in blob:
-            return label
-    # fall back to the event name, de-noised: strip "(12345...)" jit hashes
-    # and trailing ".N" op counters
+    src = str(args.get("source", ""))
+    src_short = ""
+    if src:
+        base = os.path.basename(src.split(":")[0])
+        line = src.split(":")[-1] if ":" in src else ""
+        src_short = f"{base}:{line}"
+    if "pallas_call" in str(args.get("tf_op", "")):
+        mod = _PALLAS_MODULES.get(src_short.split(":")[0], "")
+        return f"pallas {mod} ({src_short})" if mod else f"pallas ({src_short})"
     name = re.sub(r"\(\d{6,}\)", "", name)
     name = re.sub(r"\.\d+$", "", name)
-    return name
+    return f"{name} ({src_short})" if src_short else name
 
 
 def profile_ops(fn, *args, iters: int = 3, top: int = 20):

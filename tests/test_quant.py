@@ -142,3 +142,21 @@ def test_quant_errors(rng):
     kq, ks = quantize_kv(kc, jnp.int8)
     with pytest.raises(ValueError):
         flash_attn_with_kvcache(q, kq, kq, k_scales=ks)  # missing v_scales
+
+
+def test_fp8_bitcast_dequant_identity():
+    """The decode kernel's integer-domain fp8-e4m3 dequant (v5e has no
+    fast fp8->bf16 element convert) must match jax's own conversion
+    EXACTLY for every normal/zero byte pattern; subnormals (|x| < 2^-6,
+    below the quantization floor at per-token scales) flush to zero."""
+    import jax
+    from flash_attn_v100_tpu.ops.pallas.decode import _fp8_bitcast_dequant
+    allbytes = np.arange(256, dtype=np.uint8)
+    t = jax.lax.bitcast_convert_type(jnp.asarray(allbytes), jnp.float8_e4m3fn)
+    got = np.asarray(_fp8_bitcast_dequant(t).astype(jnp.float32))
+    want = np.asarray(t.astype(jnp.float32))
+    finite = np.isfinite(want)
+    normal = finite & ((np.abs(want) >= 2.0 ** -6) | (want == 0))
+    np.testing.assert_array_equal(got[normal], want[normal])
+    sub = finite & ~normal
+    assert (got[sub] == 0).all()

@@ -703,3 +703,32 @@ def test_engine_chunked_prefill_with_prefix_cache():
     assert eng.metrics["prefix_tokens_reused"] == 32
     assert out[r1] == ref
     assert out[r2] == ref[:4]
+
+
+def test_engine_staggered_prefill_admission():
+    """max_prefill_seqs caps prefills per step: greedy tokens must match
+    the unstaggered engine exactly, and first tokens must arrive over
+    MULTIPLE steps instead of one batched prefill."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1, 8], [9, 9, 8, 1, 2, 6], [4, 4]]
+
+    ref = ServingEngine(params, cfg, max_batch=4, num_pages=32, page_size=8)
+    rids = [ref.submit(p, max_new_tokens=5) for p in prompts]
+    ref_out = ref.run_to_completion()
+
+    eng = ServingEngine(params, cfg, max_batch=4, num_pages=32, page_size=8,
+                        max_prefill_seqs=1)
+    ids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    first_steps = {}
+    step_no = 0
+    while not eng.idle():
+        step_no += 1
+        eng.step()
+        for sid in ids:
+            if sid not in first_steps and eng._seqs[sid].first_token_at:
+                first_steps[sid] = step_no
+    for r, m in zip(rids, ids):
+        assert ref_out[r] == eng.result(m), (ref_out[r], eng.result(m))
+    # with cap 1, the 4 first tokens arrive at 4 DIFFERENT steps
+    assert len(set(first_steps.values())) == len(prompts), first_steps
