@@ -209,16 +209,22 @@ def main():
         # varlen kernel (q-tile x page grid); smaller pages would push
         # the 2048-token prefill through the decode-shaped kernel whose
         # single q tile per kv head exceeds scoped VMEM at this size
-        # staggered admission (<=4 prefills/step): a 16-prompt burst emits
-        # first tokens incrementally instead of after one giant batched
-        # prefill — same total FLOPs, ~40% lower p50 TTFT
+        # staggered admission measured NEUTRAL-to-negative on p50 here
+        # (the median request lands mid-burst either way; A/B in
+        # docs/performance.md) — keep the batched prefill; row-bucketed
+        # prefill still makes trickle-in admissions cheap
         eng = ServingEngine(params, cfg, max_batch=16, num_pages=290,
-                            page_size=128, max_prefill_seqs=4)
+                            page_size=128)
         PLEN, NREQ, NEW = 2048, 24, 64
         prompts = [rng.integers(1, cfg.vocab_size, PLEN).tolist()
                    for _ in range(NREQ)]
-        eng.submit(prompts[0][:PLEN], max_new_tokens=2)   # compile warmup
-        eng.run_to_completion()
+        # compile warmup: cover every prefill ROW bucket the run can see
+        # (row-bucketed prefill compiles per power-of-two batch width:
+        # the 16-burst, then trickle-in groups of up to 8)
+        for nb in (1, 3, 5, 9):
+            for i in range(nb):
+                eng.submit(prompts[i][:PLEN], max_new_tokens=2)
+            eng.run_to_completion()
         t0 = time.monotonic()
         rids = [eng.submit(p, max_new_tokens=NEW) for p in prompts]
         # phase 1: run until every admitted request is past prefill at least

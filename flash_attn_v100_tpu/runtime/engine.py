@@ -396,13 +396,20 @@ class ServingEngine:
         def _key(ctr):
             return jax.random.fold_in(jax.random.PRNGKey(rng_seed_const), ctr)
 
+        max_batch_const = max_batch
+
         def prefill_fn(params, kp, vp, ks, vs, toks, cs, bt, last_idx, ctr,
                        temp, topk, topp):
             logits, kp, vp, ks, vs = core(params, kp, vp, ks, vs, toks, cs, bt)
             last = jnp.take_along_axis(
                 logits, last_idx[:, None, None], axis=1)[:, 0]
-            return (_sample_rows(last, _key(ctr), temp, topk, topp),
-                    kp, vp, ks, vs)
+            tok = _sample_rows(last, _key(ctr), temp, topk, topp)
+            # pad to the full batch width: the decode step gathers from the
+            # previous token array, and a row-bucketed prefill emitting a
+            # short array would fork decode compilations per bucket
+            if tok.shape[0] < max_batch_const:
+                tok = jnp.pad(tok, (0, max_batch_const - tok.shape[0]))
+            return tok, kp, vp, ks, vs
 
         def decode_fn(params, kp, vp, ks, vs, prev_tok, gather_idx, use_host,
                       host_toks, cs, bt, ctr, temp, topk, topp):
@@ -546,11 +553,12 @@ class ServingEngine:
         self._rng_ctr += 1
         return self._put(np.int32(self._rng_ctr))
 
-    def _sampling_arrays(self, ids: List[int]):
+    def _sampling_arrays(self, ids: List[int], rows: Optional[int] = None):
         """(temperature, top_k, top_p) per batch row, padded rows greedy."""
-        temp = np.zeros((self.max_batch,), np.float32)
-        topk = np.zeros((self.max_batch,), np.int32)
-        topp = np.ones((self.max_batch,), np.float32)
+        rows = self.max_batch if rows is None else rows
+        temp = np.zeros((rows,), np.float32)
+        topk = np.zeros((rows,), np.int32)
+        topp = np.ones((rows,), np.float32)
         for row, sid in enumerate(ids):
             sp = self._seqs[sid].sampling or self.default_sampling
             temp[row] = sp.temperature
@@ -732,21 +740,30 @@ class ServingEngine:
         # bucket to bound recompiles; cap at max_seq_len so padded append
         # positions never walk off a full block-table row
         T = min(self._bucket(max(lens)), self.cfg.max_seq_len)
-        toks = np.zeros((self.max_batch, T), np.int32)
-        last_idx = np.zeros((self.max_batch,), np.int32)
-        cs = np.zeros((self.max_batch,), np.int32)  # append position
+        # ROW bucket too: a prefill of n sequences runs on a
+        # (next_pow2(n), T) batch, not (max_batch, T) — padding a 1-row
+        # trickle-in (or a staggered-admission group) to the full batch
+        # width multiplies prefill FLOPs by max_batch/n.  Power-of-two
+        # buckets bound the compile count.
+        rb = 2
+        while rb < len(ids):
+            rb *= 2
+        rb = min(rb, self.max_batch)
+        toks = np.zeros((rb, T), np.int32)
+        last_idx = np.zeros((rb,), np.int32)
+        cs = np.zeros((rb,), np.int32)  # append position
         for row, (sid, b, take, _) in enumerate(spans):
             s = self._seqs[sid]
             toks[row, :take] = (s.prompt + s.generated)[b:b + take]
             last_idx[row] = take - 1   # sample at the last REAL position
             cs[row] = b
-        temp, topk, topp = self._sampling_arrays(ids)
+        temp, topk, topp = self._sampling_arrays(ids, rows=rb)
         (tok, self.k_pool, self.v_pool,
          self.k_scales, self.v_scales) = self._prefill_fn(
             self.params, self.k_pool, self.v_pool,
             self.k_scales, self.v_scales,
             self._put(toks), self._put(cs),
-            self._put(self._block_table(ids)), self._put(last_idx),
+            self._put(self._block_table(ids)[:rb]), self._put(last_idx),
             self._next_ctr(), temp, topk, topp)
         self._emit(ids, tok, finished, first=True,
                    emit=[fin for _, _, _, fin in spans])
