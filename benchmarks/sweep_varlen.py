@@ -106,6 +106,66 @@ def run_case(rng, name, lens_q, lens_k, kw, Hq=32, Hk=8, D=128,
     return ok
 
 
+def run_paged_case(rng, do_time=False):
+    """In-kernel paged HND prefill (no KV gather) vs the oracle, timed
+    against the equivalent packed-contiguous forward (done-bar: >= 80% of
+    the contiguous TF/s)."""
+    Hq, Hk, D, ps = 32, 8, 128, 256
+    lens_q = [512, 2048, 300, 1024]
+    lens_k = [700, 2048, 300, 1500]
+    Tq, Tk = sum(lens_q), sum(lens_k)
+    q = jnp.asarray(rng.standard_normal((Tq, Hq, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((Tk, Hk, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((Tk, Hk, D)), jnp.bfloat16)
+    cu_q = jnp.asarray(np.concatenate([[0], np.cumsum(lens_q)]), jnp.int32)
+    cu_k = jnp.asarray(np.concatenate([[0], np.cumsum(lens_k)]), jnp.int32)
+    # scatter packed kv into pool pages
+    B = len(lens_k)
+    ppseq = [-(-L // ps) for L in lens_k]
+    P = sum(ppseq) + 1
+    kp = np.zeros((Hk, P, ps, D), np.float32)
+    vp = np.zeros((Hk, P, ps, D), np.float32)
+    bt = np.zeros((B, max(ppseq)), np.int32)
+    nxt, off = 1, 0
+    for b, L in enumerate(lens_k):
+        for j in range(ppseq[b]):
+            n = min(ps, L - j * ps)
+            kp[:, nxt, :n] = np.moveaxis(
+                np.asarray(k[off + j * ps: off + j * ps + n], np.float32), 1, 0)
+            vp[:, nxt, :n] = np.moveaxis(
+                np.asarray(v[off + j * ps: off + j * ps + n], np.float32), 1, 0)
+            bt[b, j] = nxt
+            nxt += 1
+        off += L
+    kp = jnp.asarray(kp, jnp.bfloat16)
+    vp = jnp.asarray(vp, jnp.bfloat16)
+    bt = jnp.asarray(bt)
+
+    fp = jax.jit(lambda q, kp, vp: flash_attn_varlen_func(
+        q, kp, vp, cu_q, cu_k, max(lens_q), max(lens_k), causal=True,
+        block_table=bt, kv_cache_layout="HND"))
+    out = fp(q, kp, vp)
+    ref32 = mha_reference_varlen(q, k, v, cu_q, cu_k, causal=True, upcast=True)
+    refnat = mha_reference_varlen(q, k, v, cu_q, cu_k, causal=True,
+                                  upcast=False)
+    e = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref32.astype(jnp.float32))))
+    en = float(jnp.max(jnp.abs(refnat.astype(jnp.float32) - ref32.astype(jnp.float32))))
+    ok = e <= 2 * en + 1e-5
+    extra = ""
+    if do_time:
+        fc = jax.jit(lambda q, k, v: flash_attn_varlen_func(
+            q, k, v, cu_q, cu_k, max(lens_q), max(lens_k), causal=True))
+        fc(q, k, v).block_until_ready()
+        dtp = measure(fp, q, kp, vp, iters=8)
+        dtc = measure(fc, q, k, v, iters=8)
+        extra = (f"  paged {dtp*1e3:.3f} ms vs contiguous {dtc*1e3:.3f} ms "
+                 f"({dtc/dtp*100:.0f}% of contiguous speed)")
+        ok = ok and dtp <= dtc / 0.8   # >= 80% of contiguous throughput
+    print(f"{'PASS' if ok else 'FAIL'} varlen paged-HND in-kernel: "
+          f"fwd_err={e:.2e} (native {en:.2e}){extra}", flush=True)
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -120,6 +180,9 @@ def main():
                       do_time=name.startswith(("mixed", "equal")))
         n_fail += not ok
         print(f"  ({time.time()-t0:.1f}s)", flush=True)
+    t0 = time.time()
+    n_fail += not run_paged_case(rng, do_time=not args.quick)
+    print(f"  ({time.time()-t0:.1f}s)", flush=True)
     print(f"sweep_varlen: {'OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
     sys.exit(1 if n_fail else 0)
 
