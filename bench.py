@@ -220,10 +220,12 @@ def main():
                    for _ in range(NREQ)]
         # compile warmup: cover every prefill ROW bucket the run can see
         # (row-bucketed prefill compiles per power-of-two batch width:
-        # the 16-burst, then trickle-in groups of up to 8)
+        # the 16-burst, then trickle-in groups of up to 8) AND the decode
+        # programs — 24-token generations hit the fused n=8/4/2 windows
+        # plus the unfused step
         for nb in (1, 3, 5, 9):
             for i in range(nb):
-                eng.submit(prompts[i][:PLEN], max_new_tokens=2)
+                eng.submit(prompts[i][:PLEN], max_new_tokens=24)
             eng.run_to_completion()
         t0 = time.monotonic()
         rids = [eng.submit(p, max_new_tokens=NEW) for p in prompts]

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--gen-len", type=int, default=128)
     ap.add_argument("--max-seq", type=int, default=2048)
     ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--decode-fuse", type=int, default=8,
+                    help="max decode steps fused into one dispatch (1 = off)")
     args = ap.parse_args()
 
     cfg = ModelConfig(
@@ -47,7 +49,8 @@ def main():
     params = init_params(jax.random.PRNGKey(0), cfg)
     num_pages = args.max_batch * (args.max_seq // args.page_size)
     eng = ServingEngine(params, cfg, max_batch=args.max_batch,
-                        num_pages=num_pages, page_size=args.page_size)
+                        num_pages=num_pages, page_size=args.page_size,
+                        decode_fuse=args.decode_fuse)
     print(f"backend={jax.default_backend()} native_sched={eng.sched.is_native} "
           f"model: L={cfg.n_layers} d={cfg.dim} Hq={cfg.n_heads} "
           f"Hk={cfg.n_kv_heads} hd={cfg.head_dim}")
@@ -56,9 +59,13 @@ def main():
     prompts = [rng.integers(1, cfg.vocab_size, args.prompt_len).tolist()
                for _ in range(args.requests)]
 
-    # warmup: compile prefill + decode programs
-    wid = eng.submit(prompts[0][:args.prompt_len], max_new_tokens=2)
-    eng.run_to_completion()
+    # warmup: compile every program the timed run can hit — the 1-row and
+    # full-burst prefill row buckets, the unfused decode step, and the fused
+    # decode windows (n=2,4,8 all appear within a 24-token generation)
+    for nb in (1, args.max_batch):
+        for i in range(nb):
+            eng.submit(prompts[i][:args.prompt_len], max_new_tokens=24)
+        eng.run_to_completion()
 
     t0 = time.monotonic()
     rids = [eng.submit(p, max_new_tokens=args.gen_len) for p in prompts]

@@ -239,6 +239,7 @@ class ServingEngine:
                  prefix_cache: bool = True,
                  prefill_chunk: Optional[int] = None,
                  max_prefill_seqs: Optional[int] = None,
+                 decode_fuse: int = 8,
                  interpret: Optional[bool] = None):
         """`mesh`: a jax.sharding.Mesh for tensor-parallel decode — KV heads
         and their page pools shard over the "model" axis; `params` must
@@ -261,7 +262,18 @@ class ServingEngine:
         step (None = whole prompt in one step).  A long prompt then spans
         several steps — decode rows keep advancing every step and compiled
         prefill shapes stop growing with prompt length, at the cost of the
-        chunked request's own TTFT.  Power-of-two chunks avoid re-bucketing."""
+        chunked request's own TTFT.  Power-of-two chunks avoid re-bucketing.
+        `decode_fuse`: when the running batch is STEADY (same rows, no page
+        allocation or token-budget exhaustion possible within the window),
+        up to this many decode steps run inside ONE jitted `lax.scan`
+        dispatch — the host loop, scheduler, and dispatch overhead amortize
+        over the window (fused widths are powers of two, so at most
+        log2(decode_fuse) extra compiles).  Sampling keys fold the same
+        per-step counter the unfused loop uses, so token streams are
+        IDENTICAL to decode_fuse=1.  EOS reaping still happens every
+        `eos_check_interval` ENGINE steps, so a sequence may overrun its EOS
+        by up to interval * decode_fuse tokens before being reaped (output
+        is still truncated exactly at the EOS).  1 disables fusion."""
         if cfg.max_seq_len % page_size:
             raise ValueError("page_size must divide cfg.max_seq_len")
         # Cross-host serving: when `mesh` spans processes the engine runs
@@ -367,6 +379,11 @@ class ServingEngine:
         self._rng_seed = int(rng_seed)
         self._rng_ctr = 0
         self._prev_tok = None               # last step's (max_batch,) tokens
+        # the array lazy `generated` entries reference, and the first index
+        # of a row's LAST entry into it (None: 1D single-step array, entries
+        # are (arr, row); int i: fused (n, max_batch) array, (arr, (i, row)))
+        self._prev_src = None
+        self._prev_last: Optional[int] = None
         self.eos_token_id = eos_token_id
         self.eos_check_interval = max(1, eos_check_interval)
         # steady-state decode caches: (ids, page_counts, bt_dev, cs_dev);
@@ -421,6 +438,38 @@ class ServingEngine:
             return (_sample_rows(logits[:, 0], _key(ctr), temp, topk, topp),
                     cs + 1, kp, vp, ks, vs)
 
+        def make_decode_multi(n):
+            # n fused decode steps in one dispatch: the scan carries the
+            # token, cache_seqlens, and pools; keys fold ctr+i, so the token
+            # stream is bit-identical to n single decode_fn steps.  Only
+            # dispatched when the batch is steady AND every row has page
+            # capacity and token budget for the whole window, so no host
+            # decision can be needed mid-window.
+            def decode_multi(params, kp, vp, ks, vs, prev_tok, gather_idx,
+                             use_host, host_toks, cs, bt, ctr, temp, topk,
+                             topp):
+                tok0 = jnp.where(use_host, host_toks, prev_tok[gather_idx])
+
+                def body(carry, i):
+                    tok, cs, kp, vp, ks, vs = carry
+                    logits, kp, vp, ks, vs = core(params, kp, vp, ks, vs,
+                                                  tok[:, None], cs, bt)
+                    nxt = _sample_rows(logits[:, 0], _key(ctr + i),
+                                       temp, topk, topp)
+                    return (nxt, cs + 1, kp, vp, ks, vs), nxt
+
+                (last, cs_f, kp, vp, ks, vs), toks = jax.lax.scan(
+                    body, (tok0, cs, kp, vp, ks, vs),
+                    jnp.arange(n, dtype=jnp.int32))
+                return toks, last, cs_f, kp, vp, ks, vs
+            return decode_multi
+
+        self._make_decode_multi = make_decode_multi
+        self._decode_multi: Dict[int, Any] = {}
+        if decode_fuse < 1:
+            raise ValueError("decode_fuse must be positive")
+        self.decode_fuse = decode_fuse
+
         def copy_pages_fn(kp, vp, ks, vs, src, dst):
             # prefix-cache page copy: pool page axis is 2; padding entries
             # are src == dst == 0 (scratch -> itself, a no-op value-wise)
@@ -431,17 +480,19 @@ class ServingEngine:
                 vs = vs.at[:, :, dst].set(vs[:, :, src])
             return kp, vp, ks, vs
 
-        dn = (1, 2, 3, 4) if self.quantized else (1, 2)
+        dn = self._donate = (1, 2, 3, 4) if self.quantized else (1, 2)
         # tokens (and the advanced cache_seqlens) come back REPLICATED so
         # every process holds them addressably; pools keep their placement
         rep = self._rep_sharding
         psh = self._pool_sharding
         ssh = psh if self.quantized else rep
         pf_out = dec_out = cp_out = None
+        self._multi_out = None
         if mesh is not None:
             pf_out = (rep, psh, psh, ssh, ssh)
             dec_out = (rep, rep, psh, psh, ssh, ssh)
             cp_out = (psh, psh, ssh, ssh)
+            self._multi_out = (rep, rep, rep, psh, psh, ssh, ssh)
         self._prefill_fn = jax.jit(prefill_fn, donate_argnums=dn,
                                    out_shardings=pf_out)
         self._decode_fn = jax.jit(decode_fn, donate_argnums=dn,
@@ -550,8 +601,23 @@ class ServingEngine:
             self._rep_sharding, np.asarray(x))
 
     def _next_ctr(self):
-        self._rng_ctr += 1
-        return self._put(np.int32(self._rng_ctr))
+        return self._next_ctrs(1)
+
+    def _next_ctrs(self, n: int):
+        """Reserve n consecutive RNG counters; returns the FIRST as a device
+        scalar (fused steps fold ctr+i, matching n unfused steps exactly)."""
+        first = self._rng_ctr + 1
+        self._rng_ctr += n
+        return self._put(np.int32(first))
+
+    def _get_decode_multi(self, n: int):
+        fn = self._decode_multi.get(n)
+        if fn is None:
+            fn = jax.jit(self._make_decode_multi(n),
+                         donate_argnums=self._donate,
+                         out_shardings=self._multi_out)
+            self._decode_multi[n] = fn
+        return fn
 
     def _sampling_arrays(self, ids: List[int], rows: Optional[int] = None):
         """(temperature, top_k, top_p) per batch row, padded rows greedy."""
@@ -798,11 +864,14 @@ class ServingEngine:
         ids_t = tuple(ids)
         counts = tuple(len(self.sched.pages_of(sid)) for sid in ids)
         st = self._steady
+        li = self._prev_last
         steady = (st is not None and st[0] == ids_t and st[1] == counts
                   and prev is not None
                   and all(not isinstance(self._seqs[sid].generated[-1], int)
-                          and self._seqs[sid].generated[-1][0] is prev
-                          and self._seqs[sid].generated[-1][1] == row
+                          and self._seqs[sid].generated[-1][0]
+                          is self._prev_src
+                          and self._seqs[sid].generated[-1][1]
+                          == (row if li is None else (li, row))
                           for row, sid in enumerate(ids)))
         if steady:
             # zero host->device traffic: identity gather from the previous
@@ -812,6 +881,33 @@ class ServingEngine:
             temp, topk, topp = st[4]
             gather_idx, use_host, host_toks = (
                 self._id_gather, self._all_dev, self._zero_toks)
+            # fused multi-step decode: the largest power-of-two window every
+            # row can run without a host decision — bounded by its page
+            # capacity (appends at cs..cs+n-1 must stay inside allocated
+            # pages) and its remaining token budget (a finish mid-window
+            # would change the batch)
+            n = 1
+            if self.decode_fuse > 1:
+                lim = self.decode_fuse
+                ps = self.page_size
+                for row, sid in enumerate(ids):
+                    s = self._seqs[sid]
+                    cs_row = len(s.prompt) + len(s.generated) - 1
+                    lim = min(lim, counts[row] * ps - cs_row,
+                              s.max_new_tokens - len(s.generated))
+                while n * 2 <= lim:
+                    n *= 2
+            if n > 1:
+                (toks, last, cs_next, self.k_pool, self.v_pool,
+                 self.k_scales, self.v_scales) = self._get_decode_multi(n)(
+                    self.params, self.k_pool, self.v_pool,
+                    self.k_scales, self.v_scales,
+                    prev, gather_idx, use_host, host_toks, cs_dev, bt_dev,
+                    self._next_ctrs(n), temp, topk, topp)
+                self._emit_multi(ids, toks, last, n, finished)
+                self._steady = (ids_t, counts, bt_dev, cs_next,
+                                (temp, topk, topp))
+                return
         else:
             cs = np.zeros((self.max_batch,), np.int32)
             gather_np = np.zeros((self.max_batch,), np.int32)
@@ -820,8 +916,17 @@ class ServingEngine:
             for row, sid in enumerate(ids):
                 s = self._seqs[sid]
                 e = s.generated[-1]
-                if not isinstance(e, int) and prev is not None and e[0] is prev:
-                    gather_np[row] = e[1]
+                # a last token produced by the previous step is gatherable
+                # from `prev` at its old row — for a fused window `prev` is
+                # the final scan row, so entries (src, (li, old_row)) map to
+                # prev[old_row] the same way 1D entries (src, old_row) do
+                old_row = None
+                if not isinstance(e, int) and prev is not None \
+                        and e[0] is self._prev_src:
+                    old_row = (e[1] if li is None
+                               else (e[1][1] if e[1][0] == li else None))
+                if old_row is not None:
+                    gather_np[row] = old_row
                     usehost_np[row] = False
                 else:
                     hosttok_np[row] = (e if isinstance(e, int)
@@ -852,6 +957,8 @@ class ServingEngine:
         """`emit[row]=False` (mid-chunk prefill rows): the sampled token is
         garbage by construction — no token is recorded or counted."""
         self._prev_tok = tokens             # (max_batch,) device array
+        self._prev_src = tokens
+        self._prev_last = None
         stamp_rows = []
         for row, sid in enumerate(ids):
             if emit is not None and not emit[row]:
@@ -873,3 +980,21 @@ class ServingEngine:
             now = time.monotonic()
             for sid in stamp_rows:
                 self._seqs[sid].first_token_at = now
+
+    def _emit_multi(self, ids: List[int], toks, last, n: int,
+                    finished: List[int]) -> None:
+        """Record a fused n-step window: `toks` is the (n, max_batch) token
+        matrix, `last` its final row (the next step's gather source, computed
+        in-graph).  The n cap guarantees a row can finish only at the window
+        end."""
+        self._prev_tok = last
+        self._prev_src = toks
+        self._prev_last = n - 1
+        for row, sid in enumerate(ids):
+            s = self._seqs[sid]
+            for i in range(n):
+                s.generated.append((toks, (i, row)))
+            self.metrics["tokens_generated"] += n
+            for _ in range(n):
+                if self.sched.advance(sid):
+                    finished.append(sid)

@@ -732,3 +732,48 @@ def test_engine_staggered_prefill_admission():
         assert ref_out[r] == eng.result(m), (ref_out[r], eng.result(m))
     # with cap 1, the 4 first tokens arrive at 4 DIFFERENT steps
     assert len(set(first_steps.values())) == len(prompts), first_steps
+
+
+def test_engine_decode_fuse_matches_unfused():
+    """Fused multi-step decode (decode_fuse=8) must produce BIT-IDENTICAL
+    token streams to the single-step loop — greedy AND sampled (the fused
+    scan folds the same per-step RNG counters) — across page boundaries
+    (page_size 8, 24 new tokens => windows clip at page capacity)."""
+    from flash_attn_v100_tpu.runtime.engine import SamplingParams, ServingEngine
+    cfg, params = _make_model()
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1], [9, 9, 8, 2, 6, 5, 3]]
+    sampling = [SamplingParams(),                      # greedy
+                SamplingParams(temperature=0.8, top_k=8),
+                SamplingParams(temperature=1.1, top_p=0.9)]
+
+    outs = []
+    for fuse in (1, 8):
+        eng = ServingEngine(params, cfg, max_batch=4, num_pages=32,
+                            page_size=8, rng_seed=7, decode_fuse=fuse)
+        rids = [eng.submit(p, max_new_tokens=24, sampling=sp)
+                for p, sp in zip(prompts, sampling)]
+        res = eng.run_to_completion()
+        outs.append([res[r] for r in rids])
+        if fuse > 1:
+            # the run must actually have fused: fewer engine steps than tokens
+            assert eng.metrics["steps"] < 24, eng.metrics
+    assert outs[0] == outs[1], (outs[0], outs[1])
+
+
+def test_engine_decode_fuse_respects_budget_and_eos():
+    """A fused window never runs a row past its token budget, and EOS
+    truncation still lands exactly at the EOS token."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    ref = ServingEngine(params, cfg, max_batch=2, num_pages=32, page_size=8,
+                        decode_fuse=1)
+    r = ref.submit([3, 1, 4, 1, 5], max_new_tokens=13)
+    ref_out = ref.run_to_completion()[r]
+    eos = ref_out[5]   # force an EOS mid-stream
+    for fuse in (1, 8):
+        eng = ServingEngine(params, cfg, max_batch=2, num_pages=32,
+                            page_size=8, decode_fuse=fuse, eos_token_id=eos,
+                            eos_check_interval=3)
+        rid = eng.submit([3, 1, 4, 1, 5], max_new_tokens=13)
+        out = eng.run_to_completion()[rid]
+        assert out == ref_out[:6], (out, ref_out)
