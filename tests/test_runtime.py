@@ -777,3 +777,45 @@ def test_engine_decode_fuse_respects_budget_and_eos():
         rid = eng.submit([3, 1, 4, 1, 5], max_new_tokens=13)
         out = eng.run_to_completion()[rid]
         assert out == ref_out[:6], (out, ref_out)
+
+
+def test_engine_decode_fuse_int8_pool_matches_unfused():
+    """Fused windows carry the quantization SCALE arrays through the scan
+    (int8 pools donate/return (kp, vp, ks, vs)): token streams must be
+    bit-identical to the unfused int8 engine."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    prompts = [[3, 1, 4, 1, 5], [2, 7, 1]]
+    outs = []
+    for fuse in (1, 8):
+        eng = ServingEngine(params, cfg, max_batch=2, num_pages=32,
+                            page_size=8, kv_dtype=jnp.int8, decode_fuse=fuse)
+        assert eng.quantized
+        rids = [eng.submit(p, max_new_tokens=20) for p in prompts]
+        res = eng.run_to_completion()
+        outs.append([res[r] for r in rids])
+    assert outs[0] == outs[1], (outs[0], outs[1])
+
+
+def test_engine_decode_fuse_midrun_admission():
+    """A request admitted while others sit mid-generation breaks the steady
+    batch between fused windows: the gather bookkeeping must map the new
+    step's rows back into the last fused window's token matrix (entries
+    (src, (i, row))), and every stream must match the unfused engine."""
+    from flash_attn_v100_tpu.runtime.engine import ServingEngine
+    cfg, params = _make_model()
+    first = [[3, 1, 4, 1, 5], [2, 7, 1]]
+    late = [9, 9, 8, 2, 6]
+    outs = []
+    for fuse in (1, 8):
+        eng = ServingEngine(params, cfg, max_batch=4, num_pages=32,
+                            page_size=8, decode_fuse=fuse)
+        rids = [eng.submit(p, max_new_tokens=24) for p in first]
+        # run a few engine steps (fused: whole windows), then admit a third
+        # request mid-generation — ids change, steady cache invalidates
+        for _ in range(3):
+            eng.step()
+        rids.append(eng.submit(late, max_new_tokens=24))
+        res = eng.run_to_completion()
+        outs.append([res[r] for r in rids])
+    assert outs[0] == outs[1], (outs[0], outs[1])
