@@ -41,6 +41,12 @@ from flash_attn_v100_tpu.ops.pallas.block_sizes import cdiv, round_up
 from flash_attn_v100_tpu.ops.pallas.decode import paged_decode_attention, merge_partials
 from flash_attn_v100_tpu.ops.rotary import apply_rotary_emb
 
+# Paged prefills with at least this many q rows (group * T_new) route to the
+# in-kernel paged varlen forward instead of the decode-shaped kernel (whose
+# all-rows-in-one-tile working set is decode's shape, not prefill's).
+# Module-level so tests/benchmarks can pin either path.
+VARLEN_PREFILL_MIN_ROWS = 1024
+
 
 def _pick_page_size(N: int) -> int:
     for ps in (512, 256, 128, 64, 32, 16, 8):
@@ -378,7 +384,13 @@ def flash_attn_with_kvcache(
     # page grid with per-row range masks).  Uniform cu_q = b*T_new and
     # seqlens_k = lens_total reproduce the decode alignment (q offset =
     # lens_total - T_new, the cache prefix).
-    route_varlen = (paged and not quantized and group * T_new >= 1024
+    # int8/int4 pools route too (in-tile dequant in the varlen kernel, the
+    # decode kernel's scheme); fp8 stays on the decode-shaped path (its
+    # bit-placement dequant lives there and fp8 is the cache-compat lane,
+    # not the throughput one — docs/performance.md)
+    fp8_pool = quantized and kc.dtype != jnp.int8
+    route_varlen = (paged and not fp8_pool
+                    and group * T_new >= VARLEN_PREFILL_MIN_ROWS
                     and page_size % 128 == 0 and append_window is None
                     and q_position_lens is None)
     if route_varlen:
@@ -395,7 +407,10 @@ def flash_attn_with_kvcache(
             qp, pool_k[0], pool_v[0], tbl, cu_q, lens_total,
             T_new, int(tbl.shape[1]) * page_size,
             float(softmax_scale), params,
-            alibi_slopes=slopes_bq, interpret=interpret)
+            alibi_slopes=slopes_bq,
+            k_scales=pool_ks[0] if quantized else None,
+            v_scales=pool_vs[0] if quantized else None,
+            interpret=interpret)
         out = out.reshape(B, T_new, Hq, D).astype(dtype_og)
         lse = jnp.transpose(lse_v.reshape(Hq, B, T_new), (1, 0, 2))
     else:

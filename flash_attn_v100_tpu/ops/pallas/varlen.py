@@ -301,6 +301,7 @@ def _varlen_fwd_kernel(
     block_k: int,
     num_kv_blocks_total: int,
     paged: bool = False,
+    kv_quant: Optional[str] = None,   # None | "int8" | "int4" (paged only)
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -317,6 +318,11 @@ def _varlen_fwd_kernel(
         # dropout's position-keyed Philox — masking never touches them
         qseg_ref, qpos_ref, qoff_ref, kpos_ref = refs[idx:idx + 4]
         idx += 4
+    ks_ref = vs_ref = None
+    if kv_quant is not None:
+        # per-token fp32 dequant scales, lane-major (1, 1, 1, bk) page views
+        ks_ref, vs_ref = refs[idx:idx + 2]
+        idx += 2
     (q_ref, k_ref, v_ref, klo_ref, khi_ref,
      o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs[idx:]
 
@@ -363,8 +369,41 @@ def _varlen_fwd_kernel(
         # in-kernel page resolution of the reference's varlen paged loop
         # (kernel/fused_mha_forward_varlen.cu:184-199)
         k = k_ref[0, 0] if paged else k_ref[0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        q_scale = None
+        if kv_quant is not None:
+            # int8xint8 MXU path (the decode kernel's scheme,
+            # decode.py:_decode_tile_update): quantize the q tile per row
+            # in-register, stream K as stored bytes, fold the dequant
+            # scales onto the small (bq, bk) score tile
+            ks = ks_ref[0, 0, 0][None, :].astype(jnp.float32)   # (1, bk)
+            q32 = q.astype(jnp.float32)
+            q_amax = jnp.max(jnp.abs(q32), axis=1, keepdims=True)
+            q_scale = jnp.where(q_amax == 0.0, 1.0, q_amax / 127.0)
+            q8 = jnp.round(q32 / q_scale).astype(jnp.int8)
+            if kv_quant == "int4":
+                # token-packed nibbles (quant.py layout): `k & 15` = biased
+                # even-token half page, `k & -16` = 16x odd half; score
+                # columns land in [evens | odds] split order — the mask
+                # column map and the (pre-permuted) scale/kpos vectors
+                # account for it below
+                st_e = jax.lax.dot_general(
+                    q8, k & jnp.int8(15), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                st_o = jax.lax.dot_general(
+                    q8, k & jnp.int8(-16), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                sum_q8 = jnp.sum(q8.astype(jnp.float32), axis=1,
+                                 keepdims=True)
+                s = jnp.concatenate(
+                    [st_e - 8.0 * sum_q8, st_o * (1.0 / 16.0)], axis=1)
+            else:
+                s = jax.lax.dot_general(
+                    q8, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+            s = s * q_scale * ks
+        else:
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
         s = s * (softmax_scale * c)
 
         valid = None
@@ -384,8 +423,17 @@ def _varlen_fwd_kernel(
             # is at most two compares against the static column iota.  This
             # is the reference's BlockInfo bounds walk
             # (include/template.h:55-111) reduced to its closed form.
-            gcol = (jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1) + ki * block_k)
+            gcol = jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            if kv_quant == "int4":
+                # split score order: column c is token 2c (first half) or
+                # 2c - block_k + 1 (second half) of the page.  Online
+                # softmax is column-order-invariant, so only this map (and
+                # the pre-permuted scale/kpos vectors) changes.
+                bk2 = block_k // 2
+                gcol = jnp.where(gcol < bk2, 2 * gcol,
+                                 2 * gcol - block_k + 1)
+            gcol = gcol + ki * block_k
             valid = gcol <= khi_ref[...]
             if masked == 2:
                 valid &= gcol >= klo_ref[...]
@@ -415,8 +463,34 @@ def _varlen_fwd_kernel(
             p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
 
         v = v_ref[0, 0] if paged else v_ref[0]
-        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        if kv_quant is not None:
+            # int8xint8 PV: fold V's per-token scales into P's columns, then
+            # quantize P per row — the streamed V tile is never converted
+            p = p * vs_ref[0, 0, 0][None, :].astype(jnp.float32)
+            p_amax = jnp.max(jnp.abs(p), axis=1, keepdims=True)
+            p_scale = jnp.where(p_amax == 0.0, 1.0, p_amax / 127.0)
+            p8 = jnp.round(p / p_scale).astype(jnp.int8)
+            if kv_quant == "int4":
+                bk2 = block_k // 2
+                p8_e, p8_o = p8[:, :bk2], p8[:, bk2:]
+                pv_e = jax.lax.dot_general(
+                    p8_e, v & jnp.int8(15), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                pv_o = jax.lax.dot_general(
+                    p8_o, v & jnp.int8(-16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                pv = (pv_e - 8.0 * jnp.sum(p8_e.astype(jnp.float32), axis=1,
+                                           keepdims=True)
+                      + pv_o * (1.0 / 16.0))
+            else:
+                pv = jax.lax.dot_general(
+                    p8, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+            pv = pv * p_scale
+        else:
+            pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
     @pl.when(run & fast)
@@ -599,6 +673,8 @@ def flash_attn_varlen_fwd_paged(
     alibi_slopes: Optional[jnp.ndarray] = None,
     seqused_k=None,
     leftpad_k=None,
+    k_scales: Optional[jnp.ndarray] = None,  # (Hk, P, ps, 1) fp32
+    v_scales: Optional[jnp.ndarray] = None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -614,10 +690,25 @@ def flash_attn_varlen_fwd_paged(
     block table.  Requires page_size % 128 == 0 (the kernel's lane rule for
     the (1, bk) segment vectors — the TPU mirror of the reference's
     page %256 constraint, fused_mha_forward_varlen.cu:439).
+
+    Quantized pools: pass int8 payloads with (Hk, P, ps, 1) fp32 per-token
+    `k_scales`/`v_scales` — dequant happens in-tile on the int8 MXU path
+    (same scheme as the decode kernel).  Token-packed int4 (quant.py
+    layout: payload (Hk, P, ps/2, D) bytes, scales at ps tokens) is
+    detected from the shape mismatch; its split score order is handled by
+    the kernel's column map plus split-permuted scale/position vectors.
     """
     Tq, Hq, D = q.shape
-    Hk, P, ps, _ = k_pool.shape
+    Hk, P, rows_pp, _ = k_pool.shape
     group = Hq // Hk
+    quantized = k_scales is not None
+    int4 = quantized and k_scales.shape[2] == 2 * rows_pp
+    ps = 2 * rows_pp if int4 else rows_pp     # TOKEN page size
+    kv_quant = ("int4" if int4 else "int8") if quantized else None
+    if quantized and k_pool.dtype != jnp.int8:
+        raise ValueError("quantized paged varlen supports int8/int4 pools "
+                         f"(got {k_pool.dtype}); fp8 routes to the decode "
+                         "kernel")
     if ps % 128:
         raise ValueError(f"in-kernel paged varlen needs page_size % 128 == 0 "
                          f"(got {ps})")
@@ -670,6 +761,15 @@ def flash_attn_varlen_fwd_paged(
     in_specs, inputs = [], []
     qcol = lambda h, t, qof_, *_: (qb(qof_, t), 0)
     krow = lambda h, t, qof_, kof_, *_: (0, kb(kof_, t))
+    def _split_lanes(x):
+        # token order -> the int4 kernel's [evens | odds] score order,
+        # permuted within each ps-token page on the last axis
+        shp = x.shape
+        pages = x.reshape(shp[:-1] + (shp[-1] // ps, ps))
+        pages = jnp.concatenate([pages[..., 0::2], pages[..., 1::2]],
+                                axis=-1)
+        return pages.reshape(shp)
+
     if params.has_alibi:
         slope_tok = _slope_tokens(alibi_slopes, q_seg, Hq)
         in_specs.append(pl.BlockSpec(
@@ -677,12 +777,23 @@ def flash_attn_varlen_fwd_paged(
         inputs.append(slope_tok[:, :, None])
         in_specs += [pl.BlockSpec((bq, 1), qcol)] * 3
         in_specs += [pl.BlockSpec((1, bk), krow)]
+        kpos_in = _split_lanes(k_pos) if int4 else k_pos
         inputs += [q_seg[:, None], q_pos[:, None], q_offs[:, None],
-                   k_pos[None, :]]
+                   kpos_in[None, :]]
+    if quantized:
+        # lane-major (Hk, P, 1, ps) per-token scale views; int4 pre-permutes
+        # to the kernel's split score order
+        ks_view = k_scales.reshape(Hk, P, 1, ps)
+        vs_view = v_scales.reshape(Hk, P, 1, ps)
+        if int4:
+            ks_view = _split_lanes(ks_view)
+            vs_view = _split_lanes(vs_view)
+        in_specs += [pl.BlockSpec((1, 1, 1, bk), page_map)] * 2
+        inputs += [ks_view, vs_view]
     in_specs += [
         pl.BlockSpec((1, bq, D), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)),
-        pl.BlockSpec((1, 1, bk, D), page_map),
-        pl.BlockSpec((1, 1, bk, D), page_map),
+        pl.BlockSpec((1, 1, rows_pp, D), page_map),
+        pl.BlockSpec((1, 1, rows_pp, D), page_map),
         pl.BlockSpec((bq, 1), qcol),
         pl.BlockSpec((bq, 1), qcol),
     ]
@@ -708,7 +819,7 @@ def flash_attn_varlen_fwd_paged(
             softmax_scale=softmax_scale,
             dropout_p=0.0, num_heads=Hq,
             block_q=bq, block_k=bk, num_kv_blocks_total=num_kv_blocks,
-            paged=True,
+            paged=True, kv_quant=kv_quant,
         ),
         grid_spec=grid_spec,
         out_shape=(

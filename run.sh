@@ -21,7 +21,14 @@ echo "== native runtime =="
 make -C csrc
 
 echo "== hermetic CPU suite (Pallas interpret + virtual 8-device mesh) =="
-python -m pytest tests/ -x -q
+if [[ -n "$QUICK" ]]; then
+  # quick tier (~5 min): everything but the >30s engine/ring e2e tests.
+  # The FULL suite (below, default) is the gate — the quick tier exists so
+  # a pre-snapshot check is cheap enough to actually run (VERDICT r3 #1).
+  python -m pytest tests/ -x -q -m "not slow"
+else
+  python -m pytest tests/ -x -q
+fi
 
 echo "== multi-process dryrun (jax.distributed + DCN-aware hybrid mesh) =="
 python benchmarks/dryrun_multiprocess.py --procs 2 --local-devices 4

@@ -160,3 +160,91 @@ def test_fp8_bitcast_dequant_identity():
     np.testing.assert_array_equal(got[normal], want[normal])
     sub = finite & ~normal
     assert (got[sub] == 0).all()
+
+
+@pytest.mark.parametrize("qdtype", [jnp.int8, "int4"])
+def test_quantized_paged_prefill_varlen_route(rng, qdtype):
+    """int8/int4 paged pools route large-T prefill (group*T >= threshold)
+    through the IN-KERNEL paged varlen forward with in-tile dequant — the
+    engine's recommended throughput config no longer prefills through the
+    decode-shaped kernel.  Parity is gated two ways: against the
+    decode-kernel path on identical inputs (both quantize q/p in-register,
+    so they agree to quantization noise) and against the fp oracle on the
+    dequantized updated pages (the BASELINE 0.1 / int4 0.3 bound)."""
+    from flash_attn_v100_tpu.ops import kvcache as kvmod
+    from flash_attn_v100_tpu.ops.quant import dequantize_kv
+    B, T, Hq, Hk, D = 2, 256, 8, 2, 64
+    ps, npp, P = 128, 4, 12
+    int4 = qdtype == "int4"
+    q = mk(rng, B, T, Hq, D)
+    pool_fk, pool_fv = mk(rng, P, ps, Hk, D), mk(rng, P, ps, Hk, D)
+    kq, ks = quantize_kv(pool_fk, qdtype, token_axis=1)   # NHD pages
+    vq, vs = quantize_kv(pool_fv, qdtype, token_axis=1)
+    kn, vn = mk(rng, B, T, Hk, D), mk(rng, B, T, Hk, D)
+    table = jnp.asarray([[7, 2, 11, 0], [5, 9, 1, 8]], jnp.int32)
+    cs = jnp.asarray([150, 37], jnp.int32)   # existing cache prefix
+    args = dict(k=kn, v=vn, cache_seqlens=cs, block_table=table,
+                causal=True, k_scales=ks, v_scales=vs)
+    assert Hq // Hk * T >= kvmod.VARLEN_PREFILL_MIN_ROWS  # routes
+    out, (pk2, pv2, ks2, vs2) = flash_attn_with_kvcache(q, kq, vq, **args)
+    assert out.shape == (B, T, Hq, D)
+    # (a) decode-shaped kernel on identical inputs (route pinned off)
+    old = kvmod.VARLEN_PREFILL_MIN_ROWS
+    kvmod.VARLEN_PREFILL_MIN_ROWS = 1 << 30
+    try:
+        out_dec = flash_attn_with_kvcache(q, kq, vq, **args)[0]
+    finally:
+        kvmod.VARLEN_PREFILL_MIN_ROWS = old
+    err_paths = max_abs_err(out, out_dec)
+    assert err_paths <= (0.12 if int4 else 0.04), err_paths
+    # (b) fp oracle on the dequantized UPDATED pages
+    kd = dequantize_kv(pk2, ks2, jnp.float32, int4=int4, token_axis=1)
+    vd = dequantize_kv(pv2, vs2, jnp.float32, int4=int4, token_axis=1)
+    kmat = np.zeros((B, ps * npp, Hk, D), np.float32)
+    vmat = np.zeros_like(kmat)
+    for b in range(B):
+        for i in range(npp):
+            kmat[b, i * ps:(i + 1) * ps] = np.asarray(kd[table[b, i]])
+            vmat[b, i * ps:(i + 1) * ps] = np.asarray(vd[table[b, i]])
+    ref = mha_reference_kvcache(
+        q, jnp.asarray(kmat, q.dtype), jnp.asarray(vmat, q.dtype),
+        cache_seqlens=cs + T, causal=True, upcast=True)[0]
+    err = max_abs_err(out, ref)
+    assert err <= (0.3 if int4 else 0.1), err
+
+
+@pytest.mark.slow
+def test_engine_int8_prefill_routes_varlen(rng):
+    """The serving engine's own prefill function (`paged_forward`) with an
+    int8 KV pool and a routed-size prompt (group*T >= threshold, page %128)
+    produces the same logits through the in-kernel paged varlen route as
+    through the decode-shaped kernel path — the BASELINE throughput config
+    (int8 KV) no longer depends on decode-kernel prefill."""
+    from flash_attn_v100_tpu.models.transformer import (
+        ModelConfig, init_params)
+    from flash_attn_v100_tpu.ops import kvcache as kvmod
+    from flash_attn_v100_tpu.runtime.engine import paged_forward
+
+    cfg = ModelConfig.tiny(max_seq_len=1024, vocab_size=64)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T, ps, P = 1, 1024, 128, 10
+    L, Hk, D = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+    assert (cfg.n_heads // Hk) * T >= kvmod.VARLEN_PREFILL_MIN_ROWS
+    tokens = jnp.asarray(rng.integers(1, 60, (B, T)), jnp.int32)
+    cs = jnp.zeros((B,), jnp.int32)
+    tbl = jnp.asarray([[2, 4, 6, 8, 1, 3, 5, 7]], jnp.int32)
+    mkpool = lambda: (jnp.zeros((L, Hk, P, ps, D), jnp.int8),
+                      jnp.zeros((L, Hk, P, ps, 1), jnp.float32))
+    (kp, ksc), (vp, vsc) = mkpool(), mkpool()
+    logits, *_ = paged_forward(params, kp, vp, tokens, cs, tbl, cfg=cfg,
+                               k_scales=ksc, v_scales=vsc)
+    old = kvmod.VARLEN_PREFILL_MIN_ROWS
+    kvmod.VARLEN_PREFILL_MIN_ROWS = 1 << 30
+    try:
+        (kp, ksc), (vp, vsc) = mkpool(), mkpool()
+        logits_dec, *_ = paged_forward(params, kp, vp, tokens, cs, tbl,
+                                       cfg=cfg, k_scales=ksc, v_scales=vsc)
+    finally:
+        kvmod.VARLEN_PREFILL_MIN_ROWS = old
+    err = max_abs_err(logits, logits_dec)
+    assert err <= 0.05, err

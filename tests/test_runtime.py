@@ -627,14 +627,26 @@ def test_engine_chunked_prefill_matches_unchunked():
     cfg, params = _make_model()
     prompt = [((i * 7) % 60) + 1 for i in range(40)]
     ref = _reference_generate(params, cfg, prompt, 6)
+    # decode_fuse=1 pins one engine step per token so the step-count
+    # contract of chunking is observable (fused engines batch steady decode
+    # steps into one dispatch; that contract is asserted below)
     eng = ServingEngine(params, cfg, max_batch=4, num_pages=32, page_size=8,
-                        prefill_chunk=16)
+                        prefill_chunk=16, decode_fuse=1)
     rid = eng.submit(prompt, max_new_tokens=6)
     out = eng.run_to_completion()
     assert out[rid] == ref
     # 40 tokens at 16/step = 3 prefill steps + 5 decode steps
     assert eng.metrics["steps"] == 8
     assert eng.metrics["prefill_tokens"] == 40
+    # default engine (decode_fuse=8): same tokens, fewer dispatches —
+    # 3 prefill + 1 unfused decode + 1 fused x4 window = 5 engine steps
+    eng2 = ServingEngine(params, cfg, max_batch=4, num_pages=32, page_size=8,
+                         prefill_chunk=16)
+    rid2 = eng2.submit(prompt, max_new_tokens=6)
+    out2 = eng2.run_to_completion()
+    assert out2[rid2] == ref
+    assert eng2.metrics["steps"] == 5
+    assert eng2.metrics["tokens_generated"] == 6
 
 
 def test_engine_chunked_prefill_interleaves_decode():

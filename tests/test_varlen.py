@@ -221,3 +221,43 @@ def test_varlen_paged_inkernel_hnd(rng):
         for var in eqn.outvars:
             assert tuple(var.aval.shape) not in banned, (
                 eqn.primitive, var.aval.shape)
+
+
+def test_varlen_paged_nhd_no_gather(rng):
+    """Reference-layout NHD pools (num_pages, ps, Hk, D) with ps % 128 == 0
+    no longer pay the per-call page GATHER: one transpose to the HND pool,
+    then the same in-kernel page streaming (VERDICT r3 #7).  Numerics match
+    the oracle and the jaxpr holds no gathered contiguous KV stream."""
+    Hq, Hk, D, ps = 4, 2, 64, 128
+    lens_q = [64, 100, 17]
+    lens_k = [200, 128, 37]
+    q, k, v, cu_q, cu_k, msq, msk = make_packed(
+        rng, lens_q, lens_k, Hq, Hk, D)
+    kp, bt = _fill_pool(k, lens_k, ps, Hk, D, k.dtype)
+    vp, _ = _fill_pool(v, lens_k, ps, Hk, D, v.dtype)
+    # HND fixture -> reference NHD layout (P, ps, Hk, D)
+    kp_nhd = jnp.transpose(kp, (1, 2, 0, 3))
+    vp_nhd = jnp.transpose(vp, (1, 2, 0, 3))
+
+    fn = lambda q, kp_, vp_: flash_attn_varlen_func(
+        q, kp_, vp_, cu_q, cu_k, msq, msk, causal=True, block_table=bt)
+    out = fn(q, kp_nhd, vp_nhd)
+    ref32 = mha_reference_varlen(q, k, v, cu_q, cu_k, causal=True,
+                                 upcast=True)
+    refnat = mha_reference_varlen(q, k, v, cu_q, cu_k, causal=True,
+                                  upcast=False)
+    assert_fwd_close(out, ref32, refnat)
+
+    B = len(lens_k)
+    mp = -(-msk // ps)
+    banned = {(B * mp * ps, Hk, D), (B, mp * ps, Hk, D)}
+    jaxpr = jax.make_jaxpr(fn)(q, kp_nhd, vp_nhd)
+    for eqn in jaxpr.jaxpr.eqns:
+        # small int32 index-vector gathers (ragged info) are fine; a
+        # KV-stream-sized gather output is the materialization this guards
+        for var in eqn.outvars:
+            assert tuple(var.aval.shape) not in banned, (
+                eqn.primitive, var.aval.shape)
+            if eqn.primitive.name == "gather":
+                assert var.aval.size < 10_000, (
+                    "KV-sized gather in NHD paged jaxpr", var.aval.shape)
