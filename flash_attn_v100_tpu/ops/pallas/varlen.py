@@ -196,6 +196,31 @@ def flatten_live_windows(lo, hi, num_blocks: int, max_steps: int):
     return oof_ext, iof, total
 
 
+def flatten_live_windows_unrolled(lo, hi, num_blocks: int, unroll: int,
+                                  max_steps: int):
+    """Unrolled flat live-pair axis: each grid step visits `unroll`
+    consecutive kv blocks of one q block (the dense kernel's
+    live_pairs_unrolled, built with traced ops since varlen ranges are
+    dynamic).  Returns (oof (max_steps+1,) sentinel-padded q-block ids,
+    kof (unroll, max_steps) int32 kv-block ids — UNCLAMPED against hi, so
+    kernels derive sub-slot liveness as `kof[u, t] <= hi[oof[t]]` — and the
+    traced step count).  Ragged tails alias dead slots past hi."""
+    lo = lo.astype(jnp.int32)
+    hi = hi.astype(jnp.int32)
+    spans = jnp.maximum(hi - lo + 1, 1)
+    usteps = -(-spans // unroll)
+    cum = jnp.cumsum(usteps)
+    total = cum[num_blocks - 1]
+    t = jnp.arange(max_steps, dtype=jnp.int32)
+    oof = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    oof = jnp.clip(oof, 0, num_blocks - 1)
+    within = t - (cum[oof] - usteps[oof])
+    base = jnp.clip(lo[oof] + within * unroll, 0, None)
+    kof = jnp.stack([base + u for u in range(unroll)])
+    oof_ext = jnp.concatenate([oof, jnp.full((1,), -1, jnp.int32)])
+    return oof_ext, kof, total
+
+
 def flatten_live_windows_grouped(lo, hi, num_blocks: int, group: int,
                                  max_steps: int):
     """Grouped flat live-pair axis for the dKV pass: for each kv block, the
@@ -286,7 +311,8 @@ def _slope_tokens(alibi_slopes, q_seg, Hq):
 
 def _varlen_fwd_kernel(
     qof_ref,      # scalar-prefetch: (max_steps+1,) q block of flat step
-    kof_ref,      # scalar-prefetch: (max_steps,) kv block of flat step
+    kof_ref,      # scalar-prefetch: (unroll, max_steps) kv block sub-slots
+                  #   (UNCLAMPED: slot u live iff kof[u, t] <= hi[qof[t]])
     hi_ref,       # scalar-prefetch: (num_q_blocks,) last live kv block
     fb_ref,       # scalar-prefetch: (2, num_q_blocks) fast bounds
                   #   [max k_lo_row, min k_hi_row] per q block
@@ -302,6 +328,7 @@ def _varlen_fwd_kernel(
     num_kv_blocks_total: int,
     paged: bool = False,
     kv_quant: Optional[str] = None,   # None | "int8" | "int4" (paged only)
+    unroll: int = 1,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -312,27 +339,33 @@ def _varlen_fwd_kernel(
         slope_ref = refs[idx]; idx += 1
     if has_dropout:
         seed_ref = refs[idx]; idx += 1
-    qseg_ref = qpos_ref = qoff_ref = kpos_ref = None
+    qseg_ref = qpos_ref = qoff_ref = None
+    kpos_refs = [None] * unroll
     if has_posvec:
         # positional vectors ride along ONLY for alibi's distance bias and
         # dropout's position-keyed Philox — masking never touches them
-        qseg_ref, qpos_ref, qoff_ref, kpos_ref = refs[idx:idx + 4]
-        idx += 4
-    ks_ref = vs_ref = None
+        qseg_ref, qpos_ref, qoff_ref = refs[idx:idx + 3]
+        idx += 3
+        kpos_refs = list(refs[idx:idx + unroll])
+        idx += unroll
+    scale_refs = [None] * (2 * unroll)
     if kv_quant is not None:
         # per-token fp32 dequant scales, lane-major (1, 1, 1, bk) page views
-        ks_ref, vs_ref = refs[idx:idx + 2]
-        idx += 2
-    (q_ref, k_ref, v_ref, klo_ref, khi_ref,
-     o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs[idx:]
+        scale_refs = list(refs[idx:idx + 2 * unroll])
+        idx += 2 * unroll
+    q_ref = refs[idx]
+    kv_refs = refs[idx + 1: idx + 1 + 2 * unroll]
+    (klo_ref, khi_ref,
+     o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs[idx + 1 + 2 * unroll:]
 
     h, t = pl.program_id(0), pl.program_id(1)
-    # FLAT live-pair axis (flatten_live_windows): step t visits
-    # (q block qof[t], kv block kof[t]); total steps = SUM of live spans —
-    # a traced dynamic grid dim, zero dead steps for mixed-length batches.
+    # FLAT live-pair axis (flatten_live_windows[_unrolled]): step t visits
+    # q block qof[t] and kv sub-slots kof[:, t]; total steps = SUM of
+    # ceil(span/unroll) — a traced dynamic grid dim, zero dead steps for
+    # mixed-length batches.
     qi = qof_ref[t]
-    ki = kof_ref[t]
-    ki_c = jnp.minimum(ki, num_kv_blocks_total - 1)
+    kis = [kof_ref[u, t] for u in range(unroll)]
+    kis_c = [jnp.minimum(ki, num_kv_blocks_total - 1) for ki in kis]
 
     first = (t == 0) | (qof_ref[jnp.maximum(t - 1, 0)] != qi)
 
@@ -342,19 +375,24 @@ def _varlen_fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # the flat axis visits only [lo, hi] pairs; ki > hi happens solely on
-    # the single placeholder step of an empty (fully-masked) q block.  Seg
-    # overlap (SMEM block aggregates) still trims interior page-slot gaps
-    # of multi-sequence tiles (paged virtual coords).
-    run = (ki <= hi_ref[qi]) & _tile_overlaps(qagg_ref, kagg_ref, qi, ki_c)
-    # scalar tile classification from the prefetched per-block bounds:
+    # per sub-slot scalar classification (SMEM compares):
+    #   run: slot is live (<= hi; > hi happens on the placeholder step of an
+    #     empty q block and on ragged unroll tails) AND its segments overlap
+    #     (trims interior page-slot gaps of multi-sequence tiles);
     #   skip_lo: every row's range STARTS at/before this tile -> the lower
     #     compare is statically true tile-wide (the causal-diagonal common
     #     case) AND no row is still fully masked (its m would be -inf), so
     #     the p-zero pass is skippable too;
     #   fast: additionally every row's range COVERS the tile -> no mask.
-    skip_lo = fb_ref[0, qi] <= ki * block_k
-    fast = skip_lo & (fb_ref[1, qi] >= ki * block_k + block_k - 1)
+    runs, skip_los, fasts = [], [], []
+    for u in range(unroll):
+        ki, ki_c = kis[u], kis_c[u]
+        runs.append((ki <= hi_ref[qi])
+                    & _tile_overlaps(qagg_ref, kagg_ref, qi, ki_c))
+        skip_lo_u = fb_ref[0, qi] <= ki * block_k
+        skip_los.append(skip_lo_u)
+        fasts.append(skip_lo_u
+                     & (fb_ref[1, qi] >= ki * block_k + block_k - 1))
 
     # softmax in the exp2 domain unless softcap's tanh needs natural scale
     # (same trick as fwd.py; lse converts at the store)
@@ -362,7 +400,8 @@ def _varlen_fwd_kernel(
     c = LOG2E if use_exp2 else 1.0
     expf = jnp.exp2 if use_exp2 else jnp.exp
 
-    def body(masked: int):  # 0 = none, 1 = upper compare only, 2 = full
+    def body(masked, k_ref, v_ref, ki, ki_c, kpos_ref, ks_ref, vs_ref):
+        # masked: 0 = none, 1 = upper compare only, 2 = full
         q = q_ref[0]
         # paged: the K/V tile is a pool PAGE fetched through the
         # scalar-prefetched block table (4D block (1, 1, ps, D)) — the
@@ -493,17 +532,81 @@ def _varlen_fwd_kernel(
                                      preferred_element_type=jnp.float32)
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
-    @pl.when(run & fast)
-    def _fast():
-        body(0)
+    def pipelined_all():
+        # VPU/MXU software pipelining (the dense kernel's r4 fast path,
+        # fwd.py:pipelined_all): all U score matmuls issue as one
+        # straight-line region before the softmax chain, and (m, l, acc)
+        # stay in REGISTERS across the U sub-tiles — one scratch
+        # read/write per grid step instead of per tile.  Runs only when
+        # every sub-tile is live AND fast (no masks), so fully-masked-row
+        # p-zeroing can't be needed.
+        q = q_ref[0]
+        ss = []
+        for u in range(unroll):
+            kk = kv_refs[2 * u][0, 0] if paged else kv_refs[2 * u][0]
+            s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * (softmax_scale * c)
+            if has_alibi:
+                rel = kpos_refs[u][...] - qoff_ref[...]
+                s = s - (slope_ref[0] * c) * jnp.abs(
+                    qpos_ref[...] - rel).astype(jnp.float32)
+            if params.softcap > 0.0:
+                s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
+            ss.append(s)
+        m_c = m_scr[...]
+        l_c = l_scr[...]
+        acc_c = acc_scr[...]
+        for u in range(unroll):
+            s = ss[u]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_c, m_cur)
+            alpha = expf(m_c - m_next)
+            p = expf(s - m_next[:, :1])
+            l_c = alpha * l_c + jnp.sum(p, axis=1, keepdims=True)
+            m_c = m_next
+            v = kv_refs[2 * u + 1][0, 0] if paged else kv_refs[2 * u + 1][0]
+            pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_c = acc_c * alpha[:, :1] + pv
+        m_scr[...] = m_c
+        l_scr[...] = l_c
+        acc_scr[...] = acc_c
 
-    @pl.when(run & skip_lo & jnp.logical_not(fast))
-    def _upper():
-        body(1)
+    def per_tile(u):
+        run, skip_lo, fast = runs[u], skip_los[u], fasts[u]
+        args = (kv_refs[2 * u], kv_refs[2 * u + 1], kis[u], kis_c[u],
+                kpos_refs[u], scale_refs[2 * u], scale_refs[2 * u + 1])
 
-    @pl.when(run & jnp.logical_not(skip_lo))
-    def _general():
-        body(2)
+        @pl.when(run & fast)
+        def _fast():
+            body(0, *args)
+
+        @pl.when(run & skip_lo & jnp.logical_not(fast))
+        def _upper():
+            body(1, *args)
+
+        @pl.when(run & jnp.logical_not(skip_lo))
+        def _general():
+            body(2, *args)
+
+    if unroll > 1 and not has_dropout and kv_quant is None:
+        all_fast = runs[0] & fasts[0]
+        for u in range(1, unroll):
+            all_fast &= runs[u] & fasts[u]
+
+        @pl.when(all_fast)
+        def _pipe():
+            pipelined_all()
+
+        @pl.when(jnp.logical_not(all_fast))
+        def _gen():
+            for u in range(unroll):
+                per_tile(u)
+    else:
+        for u in range(unroll):
+            per_tile(u)
 
     last = (t == pl.num_programs(1) - 1) | (qof_ref[t + 1] != qi)
 
@@ -536,6 +639,7 @@ def flash_attn_varlen_fwd(
                                 # for call-site compatibility, ignored
     self_kv: bool = False,      # q and k share one cu_seqlens (offs == 0
                                 # statically); enables skip_p_zero below
+    kv_unroll: Optional[int] = None,  # sub-tiles per grid step; None = auto
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (out (Tq, Hq, D), lse (Hq, Tq) fp32 — the reference's varlen
     LSE layout (kernel/fused_mha_forward_varlen.cu:519))."""
@@ -573,14 +677,23 @@ def flash_attn_varlen_fwd(
     # pairs — total steps = sum of live spans (a traced dynamic grid dim),
     # so mixed-length batches pay ZERO dead steps for the long tail (the
     # per-q-block max-window grid padded every q block to the longest
-    # window).
+    # window).  kv_unroll > 1 packs U consecutive kv blocks per step for
+    # the pipelined fast path (see _varlen_fwd_kernel.pipelined_all).
+    if kv_unroll is None:
+        # same auto rule as the dense fwd (r4 pipeline sweep): big tiles
+        # amortize; smaller tiles measured below U=1
+        kv_unroll = 2 if (bq >= 1024 and bk >= 1024 and dropout_p == 0.0
+                          and num_kv_blocks > 1) else 1
+    U = max(1, int(kv_unroll))
     max_steps = num_q_blocks * num_kv_blocks
-    qof, kof, total = flatten_live_windows(kv_lo, kv_hi, num_q_blocks,
-                                           max_steps)
+    qof, kof, total = flatten_live_windows_unrolled(
+        kv_lo, kv_hi, num_q_blocks, U, max_steps)
     grid = (Hq, total)
 
     qb = lambda qof_, t: qof_[t]
-    kb = lambda kof_, t: jnp.minimum(kof_[t], num_kv_blocks - 1)
+
+    def kb(kof_, t, u):
+        return jnp.minimum(kof_[u, t], num_kv_blocks - 1)
 
     has_posvec = params.has_alibi or dropout_p > 0.0
     in_specs, inputs = [], []
@@ -594,26 +707,31 @@ def flash_attn_varlen_fwd(
         inputs.append(dropout_seed.astype(jnp.uint32))
 
     qcol = lambda h, t, qof_, *_: (qb(qof_, t), 0)
-    krow = lambda h, t, qof_, kof_, *_: (0, kb(kof_, t))
     if has_posvec:
         # positional vectors only feed alibi's bias / dropout's Philox;
         # masking runs off the per-row [k_lo, k_hi] ranges below
         in_specs += [pl.BlockSpec((bq, 1), qcol)] * 3
-        in_specs += [pl.BlockSpec((1, bk), krow)]
-        inputs += [q_seg[:, None], q_pos[:, None], q_offs[:, None],
-                   k_pos[None, :]]
+        inputs += [q_seg[:, None], q_pos[:, None], q_offs[:, None]]
+        for u in range(U):
+            krow_u = (lambda u: lambda h, t, qof_, kof_, *_:
+                      (0, kb(kof_, t, u)))(u)
+            in_specs += [pl.BlockSpec((1, bk), krow_u)]
+            inputs += [k_pos[None, :]]
     in_specs += [
         pl.BlockSpec((1, bq, D), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)),
-        pl.BlockSpec((1, bk, D),
-                     lambda h, t, qof_, kof_, *_: (h // group,
-                                                   kb(kof_, t), 0)),
-        pl.BlockSpec((1, bk, D),
-                     lambda h, t, qof_, kof_, *_: (h // group,
-                                                   kb(kof_, t), 0)),
+    ]
+    inputs += [qt]
+    for u in range(U):
+        kvmap_u = (lambda u: lambda h, t, qof_, kof_, *_:
+                   (h // group, kb(kof_, t, u), 0))(u)
+        in_specs += [pl.BlockSpec((1, bk, D), kvmap_u),
+                     pl.BlockSpec((1, bk, D), kvmap_u)]
+        inputs += [kt, vt]
+    in_specs += [
         pl.BlockSpec((bq, 1), qcol),
         pl.BlockSpec((bq, 1), qcol),
     ]
-    inputs += [qt, kt, vt, k_lo_row[:, None], k_hi_row[:, None]]
+    inputs += [k_lo_row[:, None], k_hi_row[:, None]]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -635,6 +753,7 @@ def flash_attn_varlen_fwd(
             _varlen_fwd_kernel, params=params, softmax_scale=softmax_scale,
             dropout_p=dropout_p, num_heads=Hq,
             block_q=bq, block_k=bk, num_kv_blocks_total=num_kv_blocks,
+            unroll=U,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -677,6 +796,7 @@ def flash_attn_varlen_fwd_paged(
     v_scales: Optional[jnp.ndarray] = None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
+    kv_unroll: Optional[int] = None,  # pages per grid step; None = auto
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Paged-KV varlen forward with IN-KERNEL page resolution — no
     contiguous KV materialization (the reference resolves pages per KV tile
@@ -745,22 +865,31 @@ def flash_attn_varlen_fwd_paged(
     q_agg = block_aggregates(q_seg, q_pos + q_offs, num_q_blocks, bq)
     k_agg = block_aggregates(k_seg, k_pos, num_kv_blocks, bk)
 
+    if kv_unroll is None:
+        # pages are small tiles (bk == ps, usually 128): unrolled steps
+        # amortize the per-grid-step cost over several page DMAs and feed
+        # the pipelined fast path (A/B: benchmarks/prof_varlen_unroll.py)
+        kv_unroll = 4 if (not quantized and ps <= 256) else 1
+    U = max(1, int(kv_unroll))
     max_steps = num_q_blocks * num_kv_blocks
-    qof, kof, total = flatten_live_windows(kv_lo, kv_hi, num_q_blocks,
-                                           max_steps)
+    qof, kof, total = flatten_live_windows_unrolled(
+        kv_lo, kv_hi, num_q_blocks, U, max_steps)
     grid = (Hq, total)
     tbl = jnp.asarray(block_table, jnp.int32)[:, :mp]
 
     qb = lambda qof_, t: qof_[t]
-    kb = lambda kof_, t: jnp.minimum(kof_[t], num_kv_blocks - 1)
 
-    def page_map(h, t, qof_, kof_, tbl_, *_):
-        s = kb(kof_, t)
-        return (h // group, tbl_[s // mp, s % mp], 0, 0)
+    def kb(kof_, t, u):
+        return jnp.minimum(kof_[u, t], num_kv_blocks - 1)
+
+    def page_map_u(u):
+        def m(h, t, qof_, kof_, tbl_, *_):
+            s = kb(kof_, t, u)
+            return (h // group, tbl_[s // mp, s % mp], 0, 0)
+        return m
 
     in_specs, inputs = [], []
     qcol = lambda h, t, qof_, *_: (qb(qof_, t), 0)
-    krow = lambda h, t, qof_, kof_, *_: (0, kb(kof_, t))
     def _split_lanes(x):
         # token order -> the int4 kernel's [evens | odds] score order,
         # permuted within each ps-token page on the last axis
@@ -776,10 +905,13 @@ def flash_attn_varlen_fwd_paged(
             (1, bq, 1), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)))
         inputs.append(slope_tok[:, :, None])
         in_specs += [pl.BlockSpec((bq, 1), qcol)] * 3
-        in_specs += [pl.BlockSpec((1, bk), krow)]
+        inputs += [q_seg[:, None], q_pos[:, None], q_offs[:, None]]
         kpos_in = _split_lanes(k_pos) if int4 else k_pos
-        inputs += [q_seg[:, None], q_pos[:, None], q_offs[:, None],
-                   kpos_in[None, :]]
+        for u in range(U):
+            krow_u = (lambda u: lambda h, t, qof_, kof_, *_:
+                      (0, kb(kof_, t, u)))(u)
+            in_specs += [pl.BlockSpec((1, bk), krow_u)]
+            inputs += [kpos_in[None, :]]
     if quantized:
         # lane-major (Hk, P, 1, ps) per-token scale views; int4 pre-permutes
         # to the kernel's split score order
@@ -788,16 +920,22 @@ def flash_attn_varlen_fwd_paged(
         if int4:
             ks_view = _split_lanes(ks_view)
             vs_view = _split_lanes(vs_view)
-        in_specs += [pl.BlockSpec((1, 1, 1, bk), page_map)] * 2
-        inputs += [ks_view, vs_view]
+        for u in range(U):
+            in_specs += [pl.BlockSpec((1, 1, 1, bk), page_map_u(u))] * 2
+            inputs += [ks_view, vs_view]
     in_specs += [
         pl.BlockSpec((1, bq, D), lambda h, t, qof_, *_: (h, qb(qof_, t), 0)),
-        pl.BlockSpec((1, 1, rows_pp, D), page_map),
-        pl.BlockSpec((1, 1, rows_pp, D), page_map),
+    ]
+    inputs += [qt]
+    for u in range(U):
+        in_specs += [pl.BlockSpec((1, 1, rows_pp, D), page_map_u(u)),
+                     pl.BlockSpec((1, 1, rows_pp, D), page_map_u(u))]
+        inputs += [k_pool, v_pool]
+    in_specs += [
         pl.BlockSpec((bq, 1), qcol),
         pl.BlockSpec((bq, 1), qcol),
     ]
-    inputs += [qt, k_pool, v_pool, k_lo_row[:, None], k_hi_row[:, None]]
+    inputs += [k_lo_row[:, None], k_hi_row[:, None]]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -819,7 +957,7 @@ def flash_attn_varlen_fwd_paged(
             softmax_scale=softmax_scale,
             dropout_p=0.0, num_heads=Hq,
             block_q=bq, block_k=bk, num_kv_blocks_total=num_kv_blocks,
-            paged=True, kv_quant=kv_quant,
+            paged=True, kv_quant=kv_quant, unroll=U,
         ),
         grid_spec=grid_spec,
         out_shape=(
