@@ -250,9 +250,18 @@ def main():
         prompts = [rng.integers(1, cfg.vocab_size, PLEN).tolist()
                    for _ in range(NREQ)]
 
-        def run_serving(tag, kv_dtype):
-            eng = ServingEngine(params, cfg, max_batch=16, num_pages=290,
-                                page_size=128, kv_dtype=kv_dtype)
+        def run_serving(tag, kv_dtype, num_pages=290, max_batch=16,
+                        max_prefill_seqs=None):
+            # Quantized pools spend their byte savings on CAPACITY: the same
+            # HBM budget holds 2x (int8) / 4x (int4) the pages, so the whole
+            # 24-request burst fits concurrently instead of two waves, and
+            # staggered 8-wide admission pipelines the prefills — measured
+            # p90 TTFT -29% vs bf16 at +2% p50 (benchmarks/prof_ttft_tail.py;
+            # scheduling knobs alone are NEUTRAL, the tail is page-bound).
+            eng = ServingEngine(params, cfg, max_batch=max_batch,
+                                num_pages=num_pages, page_size=128,
+                                max_prefill_seqs=max_prefill_seqs,
+                                kv_dtype=kv_dtype)
             # compile warmup: cover every prefill ROW bucket the run can
             # see (row-bucketed prefill compiles per power-of-two batch
             # width) AND the fused n=8/4/2 + unfused decode programs
@@ -295,10 +304,14 @@ def main():
               f"{cfg.n_heads}/{cfg.n_kv_heads} D={cfg.head_dim}, "
               f"{NREQ} reqs x {PLEN} prompt, batch<=16, 128-token pages",
               file=sys.stderr)
-        for tag, kvd in (("bf16", None), ("int8", jnp.int8),
-                         ("int4", "int4")):
+        for tag, kvd, kw in (
+                ("bf16", None, {}),
+                ("int8", jnp.int8,
+                 dict(num_pages=580, max_batch=24, max_prefill_seqs=8)),
+                ("int4", "int4",
+                 dict(num_pages=1160, max_batch=24, max_prefill_seqs=8))):
             try:
-                run_serving(tag, kvd)
+                run_serving(tag, kvd, **kw)
             except Exception as e:
                 print(f"serving_{tag} failed: {e}", file=sys.stderr)
     except Exception as e:
