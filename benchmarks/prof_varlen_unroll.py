@@ -103,3 +103,42 @@ if __name__ == "__main__":
         bench("mixed", mixed, True, U)
     for U in (1, 2, 4, 8):
         bench_paged("paged-8x2048-ps128", 2048, 8, U)
+
+
+def bench_paged_quant(tag, plen, B, U, qd, ps=128):
+    from flash_attn_v100_tpu.ops.quant import quantize_kv
+    lens = [plen] * B
+    Tq = B * plen
+    q = mkb(Tq, Hq, D)
+    mp = -(-plen // ps)
+    P = B * mp + 1
+    kf = jnp.asarray(rng.standard_normal((Hk, P, ps, D)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((Hk, P, ps, D)), jnp.float32)
+    kq, ks = quantize_kv(kf, qd, token_axis=2)
+    vq, vs = quantize_kv(vf, qd, token_axis=2)
+    tbl = jnp.asarray(
+        1 + np.arange(B * mp, dtype=np.int32).reshape(B, mp), jnp.int32)
+    cu = jnp.arange(B + 1, dtype=jnp.int32) * plen
+    sk = jnp.full((B,), plen, jnp.int32)
+    params = masklib.MaskParams(causal=True, window_left=-1,
+                                window_right=-1, softcap=0.0, has_alibi=False)
+
+    def chained(q, kp, vp):
+        def step(qc, _):
+            o, _l = flash_attn_varlen_fwd_paged(
+                qc, kp, vp, tbl, cu, sk, plen, mp * ps, scale, params,
+                k_scales=ks, v_scales=vs, kv_unroll=U)
+            return (qc + 1e-6 * o.astype(qc.dtype)), ()
+        return jax.lax.scan(step, q, None, length=NCH)[0]
+
+    fj = jax.jit(chained)
+    try:
+        fj(q, kq, vq).block_until_ready()
+    except Exception as e:
+        print(f"{tag} U={U}: FAILED {type(e).__name__}", flush=True)
+        return
+    dt = statistics.median(measure(fj, q, kq, vq, iters=3) / NCH
+                           for _ in range(3))
+    fl = sum(4 * Hq * L * L * D // 2 for L in lens)
+    print(f"{tag} U={U}: {tflops(fl, dt):6.1f} TF/s {dt*1e3:.3f} ms",
+          flush=True)
