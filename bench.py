@@ -136,6 +136,20 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
     }))
 
+    # ---- secondary: 32k-context prefill (stderr) — BASELINE asks prefill
+    # attention TFLOPs at 4k AND 32k ctx.  B=1 keeps the fp under control;
+    # causal long-ctx is where the live-pair trim + pipelined unroll pay.
+    try:
+        M32 = 32768
+        q32, k32, v32 = mkb(1, M32, 32, 128), mkb(1, M32, 8, 128), mkb(1, M32, 8, 128)
+        f32k = chain(lambda qc, k, v: flash_attn_func(qc, k, v, causal=True), 2)
+        dt32 = med3(f32k, q32, k32, v32, n=2)
+        fl32 = attention_flops(1, M32, M32, 32, 128, causal=True)
+        print(f"prefill_32k_causal: {tflops(fl32, dt32):.1f} TF/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"32k prefill bench failed: {e}", file=sys.stderr)
+
     # ---- secondary: 32k decode (stderr, informational) ----
     try:
         B, Hq, Hk, D = 8, 32, 8, 128
@@ -251,7 +265,7 @@ def main():
                    for _ in range(NREQ)]
 
         def run_serving(tag, kv_dtype, num_pages=290, max_batch=16,
-                        max_prefill_seqs=None):
+                        max_prefill_seqs=None, page_size=128):
             # Quantized pools spend their byte savings on CAPACITY: the same
             # HBM budget holds 2x (int8) / 4x (int4) the pages, so the whole
             # 24-request burst fits concurrently instead of two waves, and
@@ -259,7 +273,7 @@ def main():
             # p90 TTFT -29% vs bf16 at +2% p50 (benchmarks/prof_ttft_tail.py;
             # scheduling knobs alone are NEUTRAL, the tail is page-bound).
             eng = ServingEngine(params, cfg, max_batch=max_batch,
-                                num_pages=num_pages, page_size=128,
+                                num_pages=num_pages, page_size=page_size,
                                 max_prefill_seqs=max_prefill_seqs,
                                 kv_dtype=kv_dtype)
             # compile warmup: cover every prefill ROW bucket the run can
@@ -309,7 +323,12 @@ def main():
                 ("int8", jnp.int8,
                  dict(num_pages=580, max_batch=24, max_prefill_seqs=8)),
                 ("int4", "int4",
-                 dict(num_pages=1160, max_batch=24, max_prefill_seqs=8))):
+                 # int4 decode wants LARGE pages (its 128-page numbers trail
+                 # int8 badly); 512-token pages at the same HBM budget
+                 # measured p50 2055 / p90 3135 / e2e 313 vs 2541/3864/263
+                 # at 128 (benchmarks/prof_ttft_tail.py A/B)
+                 dict(num_pages=290, max_batch=24, max_prefill_seqs=8,
+                      page_size=512))):
             try:
                 run_serving(tag, kvd, **kw)
             except Exception as e:
