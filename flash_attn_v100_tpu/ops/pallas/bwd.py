@@ -54,34 +54,42 @@ LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
 
 
-def live_pairs_dkv(num_q_blocks: int, num_kv_blocks: int, group: int,
-                   block_q: int, block_k: int, offset: int,
-                   params: masklib.MaskParams):
-    """Static enumeration of live (kv-tile, q-head-in-group, q-tile) triples
-    for the KV-centric backward — the transposed form of fwd.live_pairs.
-    Returns int32 arrays (ki, h_off=g, qi, first, last) ordered by ki."""
+def live_pairs_dkv_unrolled(num_q_blocks: int, num_kv_blocks: int,
+                            group: int, block_q: int, block_k: int,
+                            offset: int, params: masklib.MaskParams,
+                            unroll: int):
+    """Unrolled live-triple map for the KV-centric backward: each grid step
+    visits `unroll` consecutive live q tiles of one (kv tile, q-head-in-
+    group) segment.  Returns a (4 + 2*unroll, T) int32 array
+    [ki; g; first; last; qi_0..qi_{U-1}; live_0..live_{U-1}]; dead slots
+    alias the last live tile with live=0 (windows never cross g)."""
     wr = params.effective_window_right()
     wl = params.window_left
-    kis, gs, qis, firsts, lasts = [], [], [], [], []
+    cols = []
     for ki in range(num_kv_blocks):
         lo, hi = 0, num_q_blocks - 1
         if wr >= 0:
             lo = max(lo, (ki * block_k - offset - wr) // block_q)
         if wl >= 0:
             hi = min(hi, (ki * block_k + block_k - 1 - offset + wl) // block_q)
-        if hi < lo:          # no live q: placeholder (masked body -> zeros)
+        placeholder = hi < lo
+        if placeholder:
             lo = hi = min(max(lo, 0), num_q_blocks - 1)
         lo = max(lo, 0)
+        steps = -(-(hi - lo + 1) // unroll)
         for g in range(group):
-            for qi in range(lo, hi + 1):
-                kis.append(ki)
-                gs.append(g)
-                qis.append(qi)
-                firsts.append(1 if (g == 0 and qi == lo) else 0)
-                lasts.append(1 if (g == group - 1 and qi == hi) else 0)
-    return (np.asarray(kis, np.int32), np.asarray(gs, np.int32),
-            np.asarray(qis, np.int32), np.asarray(firsts, np.int32),
-            np.asarray(lasts, np.int32))
+            for s in range(steps):
+                qis, lives = [], []
+                for u in range(unroll):
+                    j = lo + s * unroll + u
+                    qis.append(min(j, hi))
+                    lives.append(0 if (j > hi or (placeholder and u > 0))
+                                 else 1)
+                cols.append([ki, g,
+                             1 if (g == 0 and s == 0) else 0,
+                             1 if (g == group - 1 and s == steps - 1) else 0]
+                            + qis + lives)
+    return np.asarray(cols, np.int32).T.copy()
 
 
 def _grad_scores(p, p_drop, dov, delta_vals, s_nat, softmax_scale, params,
@@ -112,8 +120,10 @@ def _recompute_p(s, valid, lse_vals):
 # ======================================================================================
 
 def _dq_kernel(
-    # scalar prefetch: flattened live-pair maps (see fwd.live_pairs)
-    qi_ref, ki_ref, first_ref, last_ref,
+    # scalar prefetch: the flattened (unrolled) live-pair map, one
+    # (3 + 2*unroll, T) i32 array [qi; first; last; ki_u...; live_u...]
+    # (fwd.live_pairs_unrolled format)
+    pairs_ref,
     *refs,
     params: masklib.MaskParams,
     softmax_scale: float,
@@ -124,6 +134,7 @@ def _dq_kernel(
     block_q: int,
     block_k: int,
     offset: int,
+    unroll: int = 1,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -134,21 +145,21 @@ def _dq_kernel(
         slopes_ref = refs[idx]; idx += 1
     if has_dropout:
         seed_ref = refs[idx]; idx += 1
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc = refs[idx:]
+    q_ref = refs[idx]
+    kv_refs = refs[idx + 1: idx + 1 + 2 * unroll]
+    do_ref, lse_ref, delta_ref, dq_ref, dq_acc = refs[idx + 1 + 2 * unroll:]
 
     b, h, t = (pl.program_id(i) for i in range(3))
-    qi = qi_ref[t]
-    ki = ki_ref[t]
+    qi = pairs_ref[0, t]
     q_start = qi * block_q
-    k_start = ki * block_k
     padded_q = seqlen_q % block_q != 0
     padded_k = seqlen_k % block_k != 0
 
-    @pl.when(first_ref[t] == 1)
+    @pl.when(pairs_ref[1, t] == 1)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    def body(masked: bool):
+    def body(masked: bool, k_ref, v_ref, k_start):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -204,23 +215,96 @@ def _dq_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if params.needs_position_mask or padded_q or padded_k:
-        full = masklib.block_fully_valid(
-            q_start, block_q, k_start, block_k, offset, params,
+    def pipelined_all():
+        # same structure as fwd.pipelined_all: all 2U independent matmuls
+        # (S_u, dOV_u) issue as one straight-line region before the VPU
+        # gradient chain; the dq accumulator stays in registers across the
+        # U sub-tiles (one scratch read + write per grid step).
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        lse_rows = lse_ref[0, 0]
+        delta_rows = delta_ref[0, 0]
+        ss, dovs = [], []
+        for u in range(unroll):
+            k = kv_refs[2 * u][0, 0]
+            v = kv_refs[2 * u + 1][0, 0]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            dovs.append(jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            if has_bias:
+                k_start = pairs_ref[3 + u, t] * block_k
+                rows, cols = masklib.position_ids(block_q, block_k,
+                                                  q_start, k_start)
+                s_nat = masklib.apply_score_bias(
+                    s, rows, cols, softmax_scale=softmax_scale,
+                    offset=offset, params=params,
+                    alibi_slope=slopes_ref[b, h] if has_alibi else None)
+                ss.append((s_nat * LOG2E, s_nat))
+            else:
+                ss.append((s * (softmax_scale * LOG2E), None))
+        dq_c = dq_acc[...]
+        for u in range(unroll):
+            s2, s_nat = ss[u]
+            p = jnp.exp2(jnp.minimum(s2 - lse_rows, 0.0))
+            ds = _grad_scores(p, p, dovs[u], delta_rows, s_nat,
+                              softmax_scale, params)
+            k = kv_refs[2 * u][0, 0]
+            dq_c = dq_c + jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dq_acc[...] = dq_c
+
+    def full_u(u):
+        return masklib.block_fully_valid(
+            q_start, block_q, pairs_ref[3 + u, t] * block_k, block_k,
+            offset, params,
             seqlen_q=seqlen_q if padded_q else None,
             seqlen_k=seqlen_k if padded_k else None)
 
-        @pl.when(full)
-        def _fast():
-            body(masked=False)
+    def per_tile(u):
+        k_ref, v_ref = kv_refs[2 * u], kv_refs[2 * u + 1]
+        k_start = pairs_ref[3 + u, t] * block_k
+        live = pairs_ref[3 + unroll + u, t] == 1
+        if params.needs_position_mask or padded_q or padded_k:
+            full = full_u(u)
 
-        @pl.when(jnp.logical_not(full))
-        def _masked():
-            body(masked=True)
+            @pl.when(live & full)
+            def _fast():
+                body(False, k_ref, v_ref, k_start)
+
+            @pl.when(live & jnp.logical_not(full))
+            def _masked():
+                body(True, k_ref, v_ref, k_start)
+        elif unroll > 1:
+            @pl.when(live)
+            def _live():
+                body(False, k_ref, v_ref, k_start)
+        else:
+            body(False, k_ref, v_ref, k_start)
+
+    if unroll > 1 and not has_dropout:
+        all_full = pairs_ref[3 + unroll, t] == 1
+        for u in range(1, unroll):
+            all_full &= pairs_ref[3 + unroll + u, t] == 1
+        if params.needs_position_mask or padded_q or padded_k:
+            for u in range(unroll):
+                all_full &= full_u(u)
+
+        @pl.when(all_full)
+        def _pipe():
+            pipelined_all()
+
+        @pl.when(jnp.logical_not(all_full))
+        def _general():
+            for u in range(unroll):
+                per_tile(u)
     else:
-        body(masked=False)
+        for u in range(unroll):
+            per_tile(u)
 
-    @pl.when(last_ref[t] == 1)
+    @pl.when(pairs_ref[2, t] == 1)
     def _store():
         dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
 
@@ -230,8 +314,10 @@ def _dq_kernel(
 # ======================================================================================
 
 def _dkv_kernel(
-    # scalar prefetch: flattened live-triple maps (see live_pairs_dkv)
-    ki_ref, g_ref, qi_ref, first_ref, last_ref,
+    # scalar prefetch: the flattened (unrolled) live-triple map, one
+    # (4 + 2*unroll, T) i32 array [ki; g; first; last; qi_u...; live_u...]
+    # (live_pairs_dkv_unrolled format)
+    pairs_ref,
     *refs,
     params: masklib.MaskParams,
     softmax_scale: float,
@@ -243,6 +329,7 @@ def _dkv_kernel(
     block_q: int,
     block_k: int,
     offset: int,
+    unroll: int = 1,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -253,23 +340,24 @@ def _dkv_kernel(
         slopes_ref = refs[idx]; idx += 1
     if has_dropout:
         seed_ref = refs[idx]; idx += 1
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs[idx:]
+    k_ref, v_ref = refs[idx], refs[idx + 1]
+    # per sub-slot: (q_u, do_u, lse_u, delta_u)
+    qdo_refs = refs[idx + 2: idx + 2 + 4 * unroll]
+    dk_ref, dv_ref, dk_acc, dv_acc = refs[idx + 2 + 4 * unroll:]
 
     b, hk, t = (pl.program_id(i) for i in range(3))
-    ki = ki_ref[t]
-    qi = qi_ref[t]
-    h = hk * group + g_ref[t]
-    q_start = qi * block_q
+    ki = pairs_ref[0, t]
+    h = hk * group + pairs_ref[1, t]
     k_start = ki * block_k
     padded_q = seqlen_q % block_q != 0
     padded_k = seqlen_k % block_k != 0
 
-    @pl.when(first_ref[t] == 1)
+    @pl.when(pairs_ref[2, t] == 1)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    def body(masked: bool):
+    def body(masked, q_ref, do_ref, lse_ref, delta_ref, q_start):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -329,23 +417,107 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if params.needs_position_mask or padded_q or padded_k:
-        full = masklib.block_fully_valid(
-            q_start, block_q, k_start, block_k, offset, params,
+    def pipelined_all():
+        # straight-line multi-q-tile region (r4, mirrors fwd/dq): all 2U
+        # independent matmuls (S^T_u, dOV^T_u) issue first; dk/dv
+        # accumulate in REGISTERS across the U sub-tiles.  The per-u VPU
+        # gradient chains are mutually independent (no running softmax
+        # state in the backward), so the scheduler has full freedom.
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        sts, dovts = [], []
+        for u in range(unroll):
+            q = qdo_refs[4 * u][0, 0]
+            do = qdo_refs[4 * u + 1][0, 0]
+            st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dovts.append(jax.lax.dot_general(
+                v, do, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            if has_bias:
+                q_start = pairs_ref[4 + u, t] * block_q
+                kpos = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_k, block_q), 0) + k_start
+                qpos = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_k, block_q), 1) + q_start
+                st_nat = masklib.apply_score_bias(
+                    st, qpos, kpos, softmax_scale=softmax_scale,
+                    offset=offset, params=params,
+                    alibi_slope=slopes_ref[b, h] if has_alibi else None)
+                sts.append((st_nat * LOG2E, st_nat))
+            else:
+                sts.append((st * (softmax_scale * LOG2E), None))
+        dk_c = dk_acc[...]
+        dv_c = dv_acc[...]
+        for u in range(unroll):
+            st2, st_nat = sts[u]
+            lse_cols = qdo_refs[4 * u + 2][0, 0]
+            delta_cols = qdo_refs[4 * u + 3][0, 0]
+            pt = jnp.exp2(jnp.minimum(st2 - lse_cols, 0.0))
+            do = qdo_refs[4 * u + 1][0, 0]
+            dv_c = dv_c + jax.lax.dot_general(
+                pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dst = _grad_scores(pt, pt, dovts[u], delta_cols, st_nat,
+                               softmax_scale, params)
+            q = qdo_refs[4 * u][0, 0]
+            dk_c = dk_c + jax.lax.dot_general(
+                dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dk_acc[...] = dk_c
+        dv_acc[...] = dv_c
+
+    def full_u(u):
+        return masklib.block_fully_valid(
+            pairs_ref[4 + u, t] * block_q, block_q, k_start, block_k,
+            offset, params,
             seqlen_q=seqlen_q if padded_q else None,
             seqlen_k=seqlen_k if padded_k else None)
 
-        @pl.when(full)
-        def _fast():
-            body(masked=False)
+    def per_tile(u):
+        q_ref, do_ref = qdo_refs[4 * u], qdo_refs[4 * u + 1]
+        lse_ref, delta_ref = qdo_refs[4 * u + 2], qdo_refs[4 * u + 3]
+        q_start = pairs_ref[4 + u, t] * block_q
+        live = pairs_ref[4 + unroll + u, t] == 1
+        args = (q_ref, do_ref, lse_ref, delta_ref, q_start)
+        if params.needs_position_mask or padded_q or padded_k:
+            full = full_u(u)
 
-        @pl.when(jnp.logical_not(full))
-        def _masked():
-            body(masked=True)
+            @pl.when(live & full)
+            def _fast():
+                body(False, *args)
+
+            @pl.when(live & jnp.logical_not(full))
+            def _masked():
+                body(True, *args)
+        elif unroll > 1:
+            @pl.when(live)
+            def _live():
+                body(False, *args)
+        else:
+            body(False, *args)
+
+    if unroll > 1 and not has_dropout:
+        all_full = pairs_ref[4 + unroll, t] == 1
+        for u in range(1, unroll):
+            all_full &= pairs_ref[4 + unroll + u, t] == 1
+        if params.needs_position_mask or padded_q or padded_k:
+            for u in range(unroll):
+                all_full &= full_u(u)
+
+        @pl.when(all_full)
+        def _pipe():
+            pipelined_all()
+
+        @pl.when(jnp.logical_not(all_full))
+        def _general():
+            for u in range(unroll):
+                per_tile(u)
     else:
-        body(masked=False)
+        for u in range(unroll):
+            per_tile(u)
 
-    @pl.when(last_ref[t] == 1)
+    @pl.when(pairs_ref[3, t] == 1)
     def _store():
         dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
@@ -446,20 +618,27 @@ def flash_attn_dense_bwd(
     num_q_blocks, num_kv_blocks = Mp // bq, Np // bk
     feat_specs, feat_inputs = feature_specs()
 
-    # flattened live-pair grid (same construction as the forward)
-    from flash_attn_v100_tpu.ops.pallas.fwd import live_pairs
-    qi_of, ki_of, first_of, last_of = live_pairs(
-        num_q_blocks, num_kv_blocks, bq, bk, offset, params)
+    # flattened UNROLLED live-pair grid (same construction as the forward);
+    # U=2 engages the pipelined straight-line fast path (r4 A/B:
+    # benchmarks/prof_bwd_unroll.py)
+    from flash_attn_v100_tpu.ops.pallas.fwd import live_pairs_unrolled
+    U = 2 if (dropout_p == 0.0 and num_kv_blocks > 1) else 1
+    pairs_np = live_pairs_unrolled(
+        num_q_blocks, num_kv_blocks, bq, bk, offset, params, U)
 
-    qmap = lambda b, h, t, qi, ki, f, l: (b, h, qi[t], 0)
-    kmap = lambda b, h, t, qi, ki, f, l: (b, h // group, ki[t], 0)
+    qmap = lambda b, h, t, mp_: (b, h, mp_[0, t], 0)
+    kv_specs = []
+    for u in range(U):
+        kmap_u = (lambda u: lambda b, h, t, mp_:
+                  (b, h // group, mp_[3 + u, t], 0))(u)
+        kv_specs += [pl.BlockSpec((1, 1, bk, D), kmap_u),
+                     pl.BlockSpec((1, 1, bk, D), kmap_u)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(B, Hq, len(qi_of)),
+        num_scalar_prefetch=1,
+        grid=(B, Hq, pairs_np.shape[1]),
         in_specs=feat_specs + [
             pl.BlockSpec((1, 1, bq, D), qmap),
-            pl.BlockSpec((1, 1, bk, D), kmap),
-            pl.BlockSpec((1, 1, bk, D), kmap),
+        ] + kv_specs + [
             pl.BlockSpec((1, 1, bq, D), qmap),
             pl.BlockSpec((1, 1, bq, 1), qmap),
             pl.BlockSpec((1, 1, bq, 1), qmap),
@@ -472,6 +651,7 @@ def flash_attn_dense_bwd(
             _dq_kernel, params=params, softmax_scale=softmax_scale,
             dropout_p=dropout_p, seqlen_q=M, seqlen_k=N,
             num_heads=num_heads_total, block_q=bq, block_k=bk, offset=offset,
+            unroll=U,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, Mp, D), q.dtype),
@@ -479,8 +659,8 @@ def flash_attn_dense_bwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(qi_of), jnp.asarray(ki_of), jnp.asarray(first_of),
-      jnp.asarray(last_of), *feat_inputs, qp, kp, vp, dop, lsep, deltap)
+    )(jnp.asarray(pairs_np), *feat_inputs, qp,
+      *([kp, vp] * U), dop, lsep, deltap)
     dq = jnp.swapaxes(dq[:, :, :M], 1, 2)
 
     # ---- dKV pass ----
@@ -495,32 +675,39 @@ def flash_attn_dense_bwd(
 
     num_q_blocks, num_kv_blocks = Mp // bq, Np // bk
 
-    # flattened live-triple grid (transposed trim, GQA group innermost)
-    ki_of, g_of, qi_of, first_of, last_of = live_pairs_dkv(
-        num_q_blocks, num_kv_blocks, group, bq, bk, offset, params)
+    # flattened live-triple grid (transposed trim, GQA group innermost).
+    # U=2 pipelining was A/B'd NEGATIVE here (13.77 -> 14.00 ms causal
+    # fwd+bwd; dkv (512,1024)/(1024,512) variants no better): unlike the
+    # dq pass, each dkv sub-tile streams FOUR per-u operands (q, do, lse,
+    # delta), so unrolling doubles the DMA bytes per step and the overlap
+    # win drowns.  The unrolled kernel ships at U=1 (identical behavior).
+    U = 1
+    pairs_np = live_pairs_dkv_unrolled(
+        num_q_blocks, num_kv_blocks, group, bq, bk, offset, params, U)
 
-    def qmap(b, hk, t, ki, g, qi, f, l):
-        return (b, hk * group + g[t], qi[t], 0)
+    def kmap(b, hk, t, mp_):
+        return (b, hk, mp_[0, t], 0)
 
-    def lmap(b, hk, t, ki, g, qi, f, l):
-        return (b, hk * group + g[t], 0, qi[t])
-
-    def kmap(b, hk, t, ki, g, qi, f, l):
-        return (b, hk, ki[t], 0)
+    qdo_specs = []
+    for u in range(U):
+        qmap_u = (lambda u: lambda b, hk, t, mp_:
+                  (b, hk * group + mp_[1, t], mp_[4 + u, t], 0))(u)
+        lmap_u = (lambda u: lambda b, hk, t, mp_:
+                  (b, hk * group + mp_[1, t], 0, mp_[4 + u, t]))(u)
+        qdo_specs += [pl.BlockSpec((1, 1, bq, D), qmap_u),
+                      pl.BlockSpec((1, 1, bq, D), qmap_u),
+                      pl.BlockSpec((1, 1, 1, bq), lmap_u),
+                      pl.BlockSpec((1, 1, 1, bq), lmap_u)]
 
     feat_specs, feat_inputs = feature_specs()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(B, Hk, len(ki_of)),
+        num_scalar_prefetch=1,
+        grid=(B, Hk, pairs_np.shape[1]),
         in_specs=feat_specs + [
-            pl.BlockSpec((1, 1, bq, D), qmap),
             pl.BlockSpec((1, 1, bk, D), kmap),
             pl.BlockSpec((1, 1, bk, D), kmap),
-            pl.BlockSpec((1, 1, bq, D), qmap),
-            pl.BlockSpec((1, 1, 1, bq), lmap),
-            pl.BlockSpec((1, 1, 1, bq), lmap),
-        ],
+        ] + qdo_specs,
         out_specs=(
             pl.BlockSpec((1, 1, bk, D), kmap),
             pl.BlockSpec((1, 1, bk, D), kmap),
@@ -535,7 +722,7 @@ def flash_attn_dense_bwd(
             _dkv_kernel, params=params, softmax_scale=softmax_scale,
             dropout_p=dropout_p, seqlen_q=M, seqlen_k=N,
             num_heads=num_heads_total, group=group, block_q=bq, block_k=bk,
-            offset=offset,
+            offset=offset, unroll=U,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -546,9 +733,8 @@ def flash_attn_dense_bwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(ki_of), jnp.asarray(g_of), jnp.asarray(qi_of),
-      jnp.asarray(first_of), jnp.asarray(last_of),
-      *feat_inputs, qp, kp, vp, dop, lsep, deltap)
+    )(jnp.asarray(pairs_np), *feat_inputs, kp, vp,
+      *([qp, dop, lsep, deltap] * U))
     dk = jnp.swapaxes(dk[:, :, :N], 1, 2)
     dv = jnp.swapaxes(dv[:, :, :N], 1, 2)
 
