@@ -979,13 +979,14 @@ def flash_attn_varlen_fwd_paged(
 # ======================================================================================
 
 def _varlen_dq_kernel(
-    qof_ref, kof_ref,  # scalar-prefetch: flat live-pair step maps
+    qof_ref, kof_ref,  # scalar-prefetch: flat (unrolled) live-pair maps —
+                       #   kof (unroll, T), slot live iff kof[u,t] <= hi
     hi_ref,            # scalar-prefetch: per-q-block last live kv block
     fb_ref,            # scalar-prefetch: (2, n) fast bounds per q block
     qagg_ref, kagg_ref,  # scalar-prefetch: (6, n) block aggregates
     *refs,
     params, softmax_scale, dropout_p, num_heads, block_q, block_k,
-    num_kv_blocks_total,
+    num_kv_blocks_total, unroll=1,
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -996,17 +997,22 @@ def _varlen_dq_kernel(
         slope_ref = refs[idx]; idx += 1
     if has_dropout:
         seed_ref = refs[idx]; idx += 1
-    qseg_ref = qpos_ref = qoff_ref = kpos_ref = None
+    qseg_ref = qpos_ref = qoff_ref = None
+    kpos_refs = [None] * unroll
     if has_posvec:
-        qseg_ref, qpos_ref, qoff_ref, kpos_ref = refs[idx:idx + 4]
-        idx += 4
-    (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-     klo_ref, khi_ref, dq_ref, dq_acc) = refs[idx:]
+        qseg_ref, qpos_ref, qoff_ref = refs[idx:idx + 3]
+        idx += 3
+        kpos_refs = list(refs[idx:idx + unroll])
+        idx += unroll
+    q_ref = refs[idx]
+    kv_refs = refs[idx + 1: idx + 1 + 2 * unroll]
+    (do_ref, lse_ref, delta_ref,
+     klo_ref, khi_ref, dq_ref, dq_acc) = refs[idx + 1 + 2 * unroll:]
 
     h, t = pl.program_id(0), pl.program_id(1)
     qi = qof_ref[t]           # flat live-pair axis (see fwd kernel)
-    ki = kof_ref[t]
-    ki_c = jnp.minimum(ki, num_kv_blocks_total - 1)
+    kis = [kof_ref[u, t] for u in range(unroll)]
+    kis_c = [jnp.minimum(ki, num_kv_blocks_total - 1) for ki in kis]
 
     first = (t == 0) | (qof_ref[jnp.maximum(t - 1, 0)] != qi)
 
@@ -1014,11 +1020,18 @@ def _varlen_dq_kernel(
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    run = (ki <= hi_ref[qi]) & _tile_overlaps(qagg_ref, kagg_ref, qi, ki_c)
-    skip_lo = fb_ref[0, qi] <= ki * block_k
-    fast = skip_lo & (fb_ref[1, qi] >= ki * block_k + block_k - 1)
+    runs, skip_los, fasts = [], [], []
+    for u in range(unroll):
+        ki, ki_c = kis[u], kis_c[u]
+        runs.append((ki <= hi_ref[qi])
+                    & _tile_overlaps(qagg_ref, kagg_ref, qi, ki_c))
+        skip_lo_u = fb_ref[0, qi] <= ki * block_k
+        skip_los.append(skip_lo_u)
+        fasts.append(skip_lo_u
+                     & (fb_ref[1, qi] >= ki * block_k + block_k - 1))
 
-    def body(masked: int):  # 0 = none, 1 = upper compare only, 2 = full
+    def body(masked, k_ref, v_ref, ki, kpos_ref):
+        # masked: 0 = none, 1 = upper compare only, 2 = full
         q = q_ref[0]
         kk = k_ref[0]
         vv = v_ref[0]
@@ -1062,17 +1075,75 @@ def _varlen_dq_kernel(
             ds.astype(kk.dtype), kk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    @pl.when(run & fast)
-    def _fast():
-        body(0)
+    def pipelined_all():
+        # straight-line multi-tile region (see bwd._dq_kernel.pipelined_all
+        # and the fwd kernels): all 2U independent matmuls first, dq
+        # accumulator in registers across the U sub-tiles.  Fast tiles
+        # only — no masks, no p-zero.
+        q = q_ref[0]
+        do = do_ref[0]
+        lse_rows = lse_ref[0]
+        delta_rows = delta_ref[0]
+        ss, dovs = [], []
+        for u in range(unroll):
+            kk = kv_refs[2 * u][0]
+            vv = kv_refs[2 * u + 1][0]
+            s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            dovs.append(jax.lax.dot_general(
+                do, vv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            s = s * softmax_scale
+            if has_alibi:
+                rel = kpos_refs[u][...] - qoff_ref[...]
+                s = s - slope_ref[0] * jnp.abs(
+                    qpos_ref[...] - rel).astype(jnp.float32)
+            if params.softcap > 0.0:
+                s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
+            ss.append(s)
+        dq_c = dq_acc[...]
+        for u in range(unroll):
+            p = jnp.exp(jnp.minimum(ss[u] - lse_rows, 0.0))
+            ds = _grad_scores(p, p, dovs[u], delta_rows, ss[u],
+                              softmax_scale, params)
+            kk = kv_refs[2 * u][0]
+            dq_c = dq_c + jax.lax.dot_general(
+                ds.astype(kk.dtype), kk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dq_acc[...] = dq_c
 
-    @pl.when(run & skip_lo & jnp.logical_not(fast))
-    def _upper():
-        body(1)
+    def per_tile(u):
+        run, skip_lo, fast = runs[u], skip_los[u], fasts[u]
+        args = (kv_refs[2 * u], kv_refs[2 * u + 1], kis[u], kpos_refs[u])
 
-    @pl.when(run & jnp.logical_not(skip_lo))
-    def _general():
-        body(2)
+        @pl.when(run & fast)
+        def _fast():
+            body(0, *args)
+
+        @pl.when(run & skip_lo & jnp.logical_not(fast))
+        def _upper():
+            body(1, *args)
+
+        @pl.when(run & jnp.logical_not(skip_lo))
+        def _general():
+            body(2, *args)
+
+    if unroll > 1 and not has_dropout:
+        all_fast = runs[0] & fasts[0]
+        for u in range(1, unroll):
+            all_fast &= runs[u] & fasts[u]
+
+        @pl.when(all_fast)
+        def _pipe():
+            pipelined_all()
+
+        @pl.when(jnp.logical_not(all_fast))
+        def _gen():
+            for u in range(unroll):
+                per_tile(u)
+    else:
+        for u in range(unroll):
+            per_tile(u)
 
     last = (t == pl.num_programs(1) - 1) | (qof_ref[t + 1] != qi)
 
@@ -1271,38 +1342,46 @@ def flash_attn_varlen_bwd(
             kv_lo, kv_hi = block_ranges(k_lo_row, k_hi_row, num_q_blocks, bq,
                                         bk, num_kv_blocks)
             fb = fast_bounds(k_lo_row, k_hi_row, num_q_blocks, bq)
-            # flat live-pair axis — zero dead steps (see fwd)
-            qof, kof, total = flatten_live_windows(
-                kv_lo, kv_hi, num_q_blocks, num_q_blocks * num_kv_blocks)
+            # flat UNROLLED live-pair axis — zero dead steps (see fwd);
+            # U=2 engages the pipelined fast path (same rule as the dense
+            # dq pass; the dkv pass stays U=1, see bwd.py)
+            U = 2 if (dropout_p == 0.0 and num_kv_blocks > 1
+                      and bq >= 512 and bk >= 512) else 1
+            qof, kof, total = flatten_live_windows_unrolled(
+                kv_lo, kv_hi, num_q_blocks, U, num_q_blocks * num_kv_blocks)
 
-            kb = lambda kof_, t: jnp.minimum(kof_[t], num_kv_blocks - 1)
+            def kb(kof_, t, u):
+                return jnp.minimum(kof_[u, t], num_kv_blocks - 1)
+
             qmap = lambda h, t, qof_, *_: (h, qof_[t], 0)
-            kmap = lambda h, t, qof_, kof_, *_: (h // group, kb(kof_, t), 0)
             qcol = lambda h, t, qof_, *_: (qof_[t], 0)
-            krow = lambda h, t, qof_, kof_, *_: (0, kb(kof_, t))
-            in_specs = feat_specs + ([
-                pl.BlockSpec((bq, 1), qcol),
-                pl.BlockSpec((bq, 1), qcol),
-                pl.BlockSpec((bq, 1), qcol),
-                pl.BlockSpec((1, bk), krow),
-            ] if has_posvec else []) + [
-                pl.BlockSpec((1, bq, D), qmap),
-                pl.BlockSpec((1, bk, D), kmap),
-                pl.BlockSpec((1, bk, D), kmap),
+            in_specs = feat_specs
+            inputs = list(feat_inputs)
+            if has_posvec:
+                in_specs = in_specs + [pl.BlockSpec((bq, 1), qcol)] * 3
+                inputs += [q_seg[:, None], q_pos[:, None], q_offs[:, None]]
+                for u in range(U):
+                    krow_u = (lambda u: lambda h, t, qof_, kof_, *_:
+                              (0, kb(kof_, t, u)))(u)
+                    in_specs = in_specs + [pl.BlockSpec((1, bk), krow_u)]
+                    inputs += [k_pos[None, :]]
+            in_specs = in_specs + [pl.BlockSpec((1, bq, D), qmap)]
+            inputs += [qt]
+            for u in range(U):
+                kmap_u = (lambda u: lambda h, t, qof_, kof_, *_:
+                          (h // group, kb(kof_, t, u), 0))(u)
+                in_specs = in_specs + [pl.BlockSpec((1, bk, D), kmap_u),
+                                       pl.BlockSpec((1, bk, D), kmap_u)]
+                inputs += [kt, vt]
+            in_specs = in_specs + [
                 pl.BlockSpec((1, bq, D), qmap),
                 pl.BlockSpec((1, bq, 1), qmap),
                 pl.BlockSpec((1, bq, 1), qmap),
                 pl.BlockSpec((bq, 1), qcol),
                 pl.BlockSpec((bq, 1), qcol),
             ]
-            inputs = feat_inputs + ([
-                q_seg[:, None], q_pos[:, None], q_offs[:, None],
-                k_pos[None, :],
-            ] if has_posvec else []) + [
-                qt, kt, vt, dot_,
-                lsep[:, :, None], deltap[:, :, None],
-                k_lo_row[:, None], k_hi_row[:, None],
-            ]
+            inputs += [dot_, lsep[:, :, None], deltap[:, :, None],
+                       k_lo_row[:, None], k_hi_row[:, None]]
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=6,
                 grid=(Hq, total),
@@ -1314,7 +1393,8 @@ def flash_attn_varlen_bwd(
                 functools.partial(
                     _varlen_dq_kernel, params=params, softmax_scale=softmax_scale,
                     dropout_p=dropout_p, num_heads=Hq,
-                    block_q=bq, block_k=bk, num_kv_blocks_total=num_kv_blocks),
+                    block_q=bq, block_k=bk, num_kv_blocks_total=num_kv_blocks,
+                    unroll=U),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((Hq, Tqp, D), q.dtype),
                 compiler_params=pltpu.CompilerParams(
