@@ -147,6 +147,10 @@ def main():
         fl32 = attention_flops(1, M32, M32, 32, 128, causal=True)
         print(f"prefill_32k_causal: {tflops(fl32, dt32):.1f} TF/s",
               file=sys.stderr)
+        # free the 32k operands — every section must release its HBM or
+        # the serving engines at the end OOM (observed: +384 MB here
+        # tipped the 16 GB chip over)
+        del q32, k32, v32, f32k
     except Exception as e:
         print(f"32k prefill bench failed: {e}", file=sys.stderr)
 
@@ -214,6 +218,8 @@ def main():
               f"{gbps(bytes_fp8, dtf):.0f} GB/s "
               f"({gbps(bytes_fp8, dtf)/819*100:.0f}% roofline), "
               f"{dt/dtf:.2f}x bf16", file=sys.stderr)
+        del (kpool, vpool, kq, vq, ks, vs, kp4, vp4, k4, v4, ks4, vs4,
+             kf, vf, kfs, vfs, qd, fd, fq, f4)   # ~3.5 GB of pools
     except Exception as e:  # secondary metrics must not break the bench line
         print(f"secondary bench failed: {e}", file=sys.stderr)
 
@@ -235,8 +241,15 @@ def main():
         flv = sum(4 * Hq * L * L * D // 2 for L in lens)
         print(f"varlen_8x2048_causal_fwd: {_tflops(flv, dtv):.1f} TF/s",
               file=sys.stderr)
+        del qv, kv_, vv, fv
     except Exception as e:
         print(f"varlen bench failed: {e}", file=sys.stderr)
+
+    # headline operands (~400 MB) are dead from here; the serving engines
+    # need the full chip (7 GB params + up to 4 GB pools)
+    del q, k, v, f, g
+    import gc
+    gc.collect()
 
     # ---- secondary: serving TTFT p50/p90 + steady decode (stderr) ----
     # BASELINE primary metric, now run at THREE kv dtypes: bf16 and the
