@@ -55,36 +55,6 @@ LOG2E = 1.4426950408889634  # 1/ln(2): softmax runs in the exp2 domain
 LN2 = 0.6931471805599453
 
 
-def live_pairs(num_q_blocks: int, num_kv_blocks: int, block_q: int,
-               block_k: int, offset: int, params: masklib.MaskParams):
-    """Static trace-time enumeration of the live (q-tile, kv-tile) pairs in
-    row-major order — the reference's BlockInfo range trim
-    (include/template.h:98-111) hoisted out of the device entirely.
-
-    Returns int32 numpy arrays (qi, ki, first, last).  A q tile whose whole
-    kv range is trimmed away still gets one placeholder pair so its output
-    rows are written (as O=0 / lse=-inf via the in-kernel mask)."""
-    wr = params.effective_window_right()
-    wl = params.window_left
-    qis, kis, firsts, lasts = [], [], [], []
-    for qi in range(num_q_blocks):
-        lo, hi = 0, num_kv_blocks - 1
-        if wr >= 0:
-            hi = min(hi, (qi * block_q + block_q - 1 + offset + wr) // block_k)
-        if wl >= 0:
-            lo = max(lo, (qi * block_q + offset - wl) // block_k)
-        if hi < lo:          # no live kv: placeholder, fully masked in-kernel
-            lo = hi = min(max(lo, 0), num_kv_blocks - 1)
-        lo = max(lo, 0)
-        for ki in range(lo, hi + 1):
-            qis.append(qi)
-            kis.append(ki)
-            firsts.append(1 if ki == lo else 0)
-            lasts.append(1 if ki == hi else 0)
-    return (np.asarray(qis, np.int32), np.asarray(kis, np.int32),
-            np.asarray(firsts, np.int32), np.asarray(lasts, np.int32))
-
-
 def live_pairs_unrolled(num_q_blocks: int, num_kv_blocks: int, block_q: int,
                         block_k: int, offset: int,
                         params: masklib.MaskParams, unroll: int):

@@ -165,37 +165,6 @@ def fast_bounds(lo_row, hi_row, num_blocks: int, block: int):
     return jnp.stack([lo, hi]).astype(jnp.int32)
 
 
-def flatten_live_windows(lo, hi, num_blocks: int, max_steps: int):
-    """Flatten per-block live ranges [lo_i, hi_i] into ONE packed grid axis —
-    the varlen analog of the dense kernels' flattened live-pair grid.
-
-    Step t belongs to outer block `oof[t]` and visits inner block
-    `iof[t] = lo[oof[t]] + (t - start[oof[t]])`.  Blocks with empty ranges
-    (hi < lo: fully-masked or padding) still get ONE step so their outputs
-    are initialized/stored (zeros + lse=-inf, the reference's fully-masked
-    row semantics, kernel/fused_mha_forward_varlen.cu:100-111).
-
-    Returns (oof (max_steps+1,) int32 — entry [t] valid for t < total,
-    sentinel-padded so kernels may read [t+1]; iof (max_steps,) int32;
-    total: traced step count — the dynamic grid dimension).  Unlike the
-    per-block max-window grid, total = SUM of spans: mixed-length batches
-    pay zero dead steps for the long-sequence tail.
-    """
-    lo = lo.astype(jnp.int32)
-    hi = hi.astype(jnp.int32)
-    spans = jnp.maximum(hi - lo + 1, 1)
-    cum = jnp.cumsum(spans)
-    total = cum[num_blocks - 1]
-    t = jnp.arange(max_steps, dtype=jnp.int32)
-    oof = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
-    oof = jnp.clip(oof, 0, num_blocks - 1)
-    start = cum[oof] - spans[oof]
-    iof = jnp.clip(lo[oof] + (t - start), 0, None)
-    # sentinel so `oof[t+1] != oof[t]` is readable at the true last step
-    oof_ext = jnp.concatenate([oof, jnp.full((1,), -1, jnp.int32)])
-    return oof_ext, iof, total
-
-
 def flatten_live_windows_unrolled(lo, hi, num_blocks: int, unroll: int,
                                   max_steps: int):
     """Unrolled flat live-pair axis: each grid step visits `unroll`
