@@ -335,6 +335,11 @@ def main():
                 ("bf16", None, {}),
                 ("int8", jnp.int8,
                  dict(num_pages=580, max_batch=24, max_prefill_seqs=8)),
+                ("fp8", jnp.float8_e4m3fn,
+                 # same byte budget as int8; fp8 is the cache-compat lane
+                 # (README dtype guide) — measured so the serving table
+                 # covers every pool dtype (VERDICT r4 #8)
+                 dict(num_pages=580, max_batch=24, max_prefill_seqs=8)),
                 ("int4", "int4",
                  # int4 decode wants LARGE pages (its 128-page numbers trail
                  # int8 badly); 512-token pages at the same HBM budget

@@ -33,7 +33,11 @@ def bench(name, causal, bs):
     def run(qc, k, v):
         def step(qi, _):
             dq, dk, dv = g(qi, k, v)
-            return (qi + 1e-6 * dq.astype(qi.dtype)), ()
+            # r5 fix: consume dk/dv too — the old dq-only carry let XLA
+            # dead-code-eliminate the dkv kernel, so r4's "fwd+bwd"
+            # numbers here were really fwd+dq
+            return (qi + 1e-6 * dq.astype(qi.dtype)
+                    + (1e-9 * (dk.sum() + dv.sum())).astype(qi.dtype)), ()
         return jax.lax.scan(step, qc, None, length=NCH)[0]
 
     fj = jax.jit(run)

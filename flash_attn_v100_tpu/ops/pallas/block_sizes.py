@@ -39,10 +39,19 @@ class BlockSizes:
 
     @staticmethod
     def for_shape(seqlen_q: int, seqlen_k: int, head_dim: int,
-                  base: Optional["BlockSizes"] = None) -> "BlockSizes":
+                  base: Optional["BlockSizes"] = None,
+                  dropout: bool = False) -> "BlockSizes":
         """Pick tiles for a given problem, analog of the per-D table
         (reference: include/forward.h:9-23): larger D -> smaller tiles to stay
-        inside the VMEM budget; tiles never exceed the (padded) sequence."""
+        inside the VMEM budget; tiles never exceed the (padded) sequence.
+
+        `dropout`: the keep-mask hash adds ~11 int-op passes per score
+        element; (512, 1024) fwd tiles measured best under that VPU load
+        (r5 A/B: causal 35.7 TF/s vs 29.4 at 1024², benchmarks log in
+        docs/performance.md) and keep the U=2 pipelined region inside
+        VMEM."""
+        if base is None and dropout and head_dim <= 128:
+            base = BlockSizes(512, 1024, 512, 512, 512, 512)
         if base is None:
             # fwd tiles from v5e sweeps (benchmarks/sweep_dense.py shapes,
             # 4k, flattened-grid kernel): D64 (1024,1024) 43 TF/s causal;

@@ -248,7 +248,21 @@ def _dq_kernel(
         for u in range(unroll):
             s2, s_nat = ss[u]
             p = jnp.exp2(jnp.minimum(s2 - lse_rows, 0.0))
-            ds = _grad_scores(p, p, dovs[u], delta_rows, s_nat,
+            if has_dropout:
+                # replay in the straight-line region (r5): position-keyed
+                # Philox is path-invariant, same keying as the per-tile body
+                rows, cols = masklib.position_ids(
+                    block_q, block_k, q_start, pairs_ref[3 + u, t] * block_k)
+                bh = (b + seed_ref[4].astype(jnp.int32)) * num_heads \
+                    + (h + seed_ref[5].astype(jnp.int32))
+                keep = philox.dropout_keep_mask(
+                    rows + seed_ref[2].astype(jnp.int32),
+                    cols + seed_ref[3].astype(jnp.int32), bh,
+                    seed_ref[0], seed_ref[1], dropout_p)
+                p_drop = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
+            else:
+                p_drop = p
+            ds = _grad_scores(p, p_drop, dovs[u], delta_rows, s_nat,
                               softmax_scale, params)
             k = kv_refs[2 * u][0, 0]
             dq_c = dq_c + jax.lax.dot_general(
@@ -284,7 +298,7 @@ def _dq_kernel(
         else:
             body(False, k_ref, v_ref, k_start)
 
-    if unroll > 1 and not has_dropout:
+    if unroll > 1:
         all_full = pairs_ref[3 + unroll, t] == 1
         for u in range(1, unroll):
             all_full &= pairs_ref[3 + unroll + u, t] == 1
@@ -368,8 +382,9 @@ def _dkv_kernel(
                                  preferred_element_type=jnp.float32)  # (bk, bq)
         need_pos = has_alibi or has_dropout
         if need_pos:
-            kpos = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 0) + k_start
-            qpos = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 1) + q_start
+            # broadcastable vectors, transposed orientation (see position_ids)
+            kpos = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0) + k_start
+            qpos = jax.lax.broadcasted_iota(jnp.int32, (1, block_q), 1) + q_start
         else:
             kpos = qpos = None
         st_nat = None
@@ -437,9 +452,9 @@ def _dkv_kernel(
             if has_bias:
                 q_start = pairs_ref[4 + u, t] * block_q
                 kpos = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_k, block_q), 0) + k_start
+                    jnp.int32, (block_k, 1), 0) + k_start
                 qpos = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_k, block_q), 1) + q_start
+                    jnp.int32, (1, block_q), 1) + q_start
                 st_nat = masklib.apply_score_bias(
                     st, qpos, kpos, softmax_scale=softmax_scale,
                     offset=offset, params=params,
@@ -620,9 +635,9 @@ def flash_attn_dense_bwd(
 
     # flattened UNROLLED live-pair grid (same construction as the forward);
     # U=2 engages the pipelined straight-line fast path (r4 A/B:
-    # benchmarks/prof_bwd_unroll.py)
+    # benchmarks/prof_bwd_unroll.py); dropout rides it too since r5
     from flash_attn_v100_tpu.ops.pallas.fwd import live_pairs_unrolled
-    U = 2 if (dropout_p == 0.0 and num_kv_blocks > 1) else 1
+    U = 2 if num_kv_blocks > 1 else 1
     pairs_np = live_pairs_unrolled(
         num_q_blocks, num_kv_blocks, bq, bk, offset, params, U)
 

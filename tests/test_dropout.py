@@ -104,3 +104,36 @@ def test_rng_key_api(rng):
     o1 = flash_attn_func(q, k, v, dropout_p=0.5, rng_key=key)
     o2 = flash_attn_func(q, k, v, dropout_p=0.5, rng_key=key)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_dropout_pipelined_path_matches_per_tile(rng):
+    """Dropout through the straight-line pipelined regions (r5: fwd
+    pipelined_all/mixed_pair, dq pipelined) must be bit-identical to the
+    per-tile path — the Philox keying is position-based, so tile grouping
+    can't change the mask.  kv_unroll=2 at small blocks forces the
+    pipelined/mixed regions on CPU interpret."""
+    from flash_attn_v100_tpu.ops.pallas.block_sizes import BlockSizes
+    from flash_attn_v100_tpu.ops.pallas.fwd import flash_attn_dense_fwd
+    from flash_attn_v100_tpu.ops.pallas import masks as masklib
+    B, M, N, Hq, Hk, D = 1, 256, 256, 2, 2, 64
+    q, k, v = make_qkv(rng, B, M, N, Hq, Hk, D)
+    seed = jnp.asarray([17, 3], jnp.uint32)
+    bs = BlockSizes(block_q=64, block_k=64)
+    for causal in (False, True):
+        params = masklib.MaskParams(causal=causal)
+        out1, lse1 = flash_attn_dense_fwd(
+            q, k, v, D ** -0.5, params, dropout_p=0.3, dropout_seed=seed,
+            block_sizes=bs, kv_unroll=1)
+        out2, lse2 = flash_attn_dense_fwd(
+            q, k, v, D ** -0.5, params, dropout_p=0.3, dropout_seed=seed,
+            block_sizes=bs, kv_unroll=2)
+        if causal:
+            # the mixed enumeration reorders the (order-invariant) online
+            # softmax, so agreement is to rounding, not bitwise — any
+            # dropout-mask divergence would show up at O(1), not O(ulp)
+            assert float(jnp.max(jnp.abs(
+                out1.astype(jnp.float32) - out2.astype(jnp.float32)))) < 2e-3
+            assert float(jnp.max(jnp.abs(lse1 - lse2))) < 1e-5
+        else:
+            assert jnp.array_equal(out1, out2)
+            assert jnp.array_equal(lse1, lse2)

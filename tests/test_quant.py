@@ -162,15 +162,16 @@ def test_fp8_bitcast_dequant_identity():
     assert (got[sub] == 0).all()
 
 
-@pytest.mark.parametrize("qdtype", [jnp.int8, "int4"])
+@pytest.mark.parametrize("qdtype", [jnp.int8, "int4", jnp.float8_e4m3fn])
 def test_quantized_paged_prefill_varlen_route(rng, qdtype):
-    """int8/int4 paged pools route large-T prefill (group*T >= threshold)
-    through the IN-KERNEL paged varlen forward with in-tile dequant — the
-    engine's recommended throughput config no longer prefills through the
-    decode-shaped kernel.  Parity is gated two ways: against the
-    decode-kernel path on identical inputs (both quantize q/p in-register,
-    so they agree to quantization noise) and against the fp oracle on the
-    dequantized updated pages (the BASELINE 0.1 / int4 0.3 bound)."""
+    """int8/int4 (and since r5 fp8) paged pools route large-T prefill
+    (group*T >= threshold) through the IN-KERNEL paged varlen forward with
+    in-tile dequant — the engine's recommended throughput config no longer
+    prefills through the decode-shaped kernel.  Parity is gated two ways:
+    against the decode-kernel path on identical inputs (both quantize q/p
+    in-register, so they agree to quantization noise) and against the fp
+    oracle on the dequantized updated pages (the BASELINE 0.1 / int4 0.3
+    bound)."""
     from flash_attn_v100_tpu.ops import kvcache as kvmod
     from flash_attn_v100_tpu.ops.quant import dequantize_kv
     B, T, Hq, Hk, D = 2, 256, 8, 2, 64

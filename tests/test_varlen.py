@@ -133,6 +133,27 @@ def test_varlen_seqused_k(rng):
     assert_fwd_close(out, ref32, refnat)
 
 
+def test_varlen_seqused_k_zero(rng):
+    """A sequence with seqused_k == 0 has an EMPTY valid-k range for all its
+    q rows: output must be exactly 0 there (fully-masked-row semantics,
+    reference kernel/fused_mha_forward_varlen.cu:100-111), and it must not
+    contaminate neighbours.  Regression: empty-range rows used to keep a
+    finite k_lo_row, letting the upper-compare-only kernel path count their
+    exp(-inf - -inf) = 1 terms into l."""
+    lens = [64, 64, 96]
+    q, k, v, cu_q, cu_k, msq, msk = make_packed(rng, lens, lens, 2, 2, 32)
+    seqused = jnp.asarray([40, 0, 80], jnp.int32)
+    out = flash_attn_varlen_func(q, k, v, cu_q, cu_k, msq, msk,
+                                 seqused_k=seqused)
+    assert bool(jnp.all(out[64:128] == 0.0)), "empty-seqused rows must be 0"
+    live = jnp.asarray([True] * 64 + [False] * 64 + [True] * 96)
+    ref32 = mha_reference_varlen(q, k, v, cu_q, cu_k, upcast=True,
+                                 seqused_k=seqused)
+    refnat = mha_reference_varlen(q, k, v, cu_q, cu_k, upcast=False,
+                                  seqused_k=seqused)
+    assert_fwd_close(out[live], ref32[live], refnat[live])
+
+
 def test_unpad_pad_roundtrip(rng):
     B, S, H, D = 3, 64, 2, 16
     x = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
@@ -261,3 +282,48 @@ def test_varlen_paged_nhd_no_gather(rng):
             if eqn.primitive.name == "gather":
                 assert var.aval.size < 10_000, (
                     "KV-sized gather in NHD paged jaxpr", var.aval.shape)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_varlen_sort_sequences(rng, causal):
+    """sort_sequences=True permutes sequences into descending-KV-length
+    order around the kernel call (the mixed-batch MXU-waste fix); outputs
+    and gradients must match the unsorted path's oracle exactly (same math,
+    different tile grouping)."""
+    lens = [37, 200, 96, 128, 64]
+    q, k, v, cu_q, cu_k, msq, msk = make_packed(rng, lens, lens, 4, 2, 64)
+    out = flash_attn_varlen_func(q, k, v, cu_q, cu_k, msq, msk,
+                                 causal=causal, sort_sequences=True)
+    ref32 = mha_reference_varlen(q, k, v, cu_q, cu_k, causal=causal,
+                                 upcast=True)
+    refnat = mha_reference_varlen(q, k, v, cu_q, cu_k, causal=causal,
+                                  upcast=False)
+    assert_fwd_close(out, ref32, refnat)
+
+    do = jnp.asarray(rng.standard_normal(q.shape), q.dtype)
+    dq, dk, dv = jax.grad(
+        lambda q, k, v: (flash_attn_varlen_func(
+            q, k, v, cu_q, cu_k, msq, msk, causal=causal,
+            sort_sequences=True) * do).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+
+    def ref_loss(q, k, v, upcast):
+        return (mha_reference_varlen(q, k, v, cu_q, cu_k, causal=causal,
+                                     upcast=upcast) * do).sum()
+
+    g32 = jax.grad(lambda *a: ref_loss(*a, True), argnums=(0, 1, 2))(q, k, v)
+    gnat = jax.grad(lambda *a: ref_loss(*a, False), argnums=(0, 1, 2))(q, k, v)
+    for g, gr32, grn, name in zip((dq, dk, dv), g32, gnat, ("dq", "dk", "dv")):
+        assert_bwd_close(g, gr32, grn, name)
+
+
+def test_varlen_sort_sequences_jit(rng):
+    """sort path under jit with traced cu_seqlens (static shapes end-to-end)."""
+    lens = [64, 16, 128]
+    q, k, v, cu_q, cu_k, msq, msk = make_packed(rng, lens, lens, 2, 2, 32)
+    f = jax.jit(lambda q, k, v, cq, ck: flash_attn_varlen_func(
+        q, k, v, cq, ck, msq, msk, causal=True, sort_sequences=True))
+    out = f(q, k, v, cu_q, cu_k)
+    ref32 = mha_reference_varlen(q, k, v, cu_q, cu_k, causal=True, upcast=True)
+    refnat = mha_reference_varlen(q, k, v, cu_q, cu_k, causal=True, upcast=False)
+    assert_fwd_close(out, ref32, refnat)
