@@ -34,8 +34,9 @@ prompts = [rng.integers(1, cfg.vocab_size, PLEN).tolist() for _ in range(B)]
 def device_only():
     """Pure device decode step at the serving shape: batch 16, 2k ctx."""
     mp = cfg.max_seq_len // PS
-    kp = jnp.zeros((cfg.n_layers, cfg.n_kv_heads, B * mp + 1, PS,
-                    cfg.head_dim), jnp.bfloat16)
+    pool_shape = (cfg.n_kv_heads, (B * mp + 1) * cfg.n_layers, PS,
+                  cfg.head_dim)          # layer-folded page axis
+    kp = jnp.zeros(pool_shape, jnp.bfloat16)
     vp = jnp.zeros_like(kp)
     bt = jnp.asarray(1 + np.arange(B * mp).reshape(B, mp), jnp.int32)
     cs = jnp.full((B,), PLEN, jnp.int32)
@@ -54,8 +55,7 @@ def device_only():
         return tok
     fj = jax.jit(run, donate_argnums=(1, 2))
     fj(params, kp, vp, toks, cs).block_until_ready()
-    kp = jnp.zeros((cfg.n_layers, cfg.n_kv_heads, B * mp + 1, PS,
-                    cfg.head_dim), jnp.bfloat16)
+    kp = jnp.zeros(pool_shape, jnp.bfloat16)
     vp = jnp.zeros_like(kp)
     dt = measure(fj, params, kp, vp, toks, cs, iters=1) / N
     print(f"device-only decode step (scan, b{B}, 2k ctx): {dt*1e3:.2f} ms "
@@ -66,9 +66,11 @@ def device_only():
 def engine_steady(fuse):
     eng = ServingEngine(params, cfg, max_batch=B, num_pages=NPAGES,
                         page_size=PS, decode_fuse=fuse)
-    # warmup compiles: one batch to completion
-    for p in prompts[:2]:
-        eng.submit(p[:PLEN], max_new_tokens=8)
+    # warmup compiles: full-width batch, enough tokens to hit every fused
+    # width (n, n/2, ..., 1) and the row buckets — an unwarmed fused
+    # program costs ~30 s of remote compile INSIDE the measured loop
+    for p in prompts:
+        eng.submit(p[:PLEN], max_new_tokens=4 * max(fuse, 8))
     eng.run_to_completion()
     rids = [eng.submit(p, max_new_tokens=160) for p in prompts]
     dec_toks, dec_wall, dec_steps = 0, 0.0, 0

@@ -55,23 +55,36 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
     """tokens (B, T) -> (logits (B, T, vocab) fp32, k_pool, v_pool
     [, k_scales, v_scales]).
 
-    k_pool/v_pool: (L, Hk, P, ps, D) page pools in HND layout; block_table
-    (B, max_pages).  Appends the T new tokens of every row at its
-    cache_seqlens position and runs causal paged attention with fused rotary
-    (reference flow: kernel/fused_mha_forward_kvcache.cu phases A-C).
-    With int8/fp8 pools pass (L, Hk, P, ps, 1) fp32 scale pools: appended
-    tokens quantize on the fly, the kernel dequantizes in-tile."""
+    k_pool/v_pool: (Hk, P_f, ps, D) page pools in HND layout with the
+    LAYER axis FOLDED into the page axis — page p of layer l lives at
+    folded id p * n_layers + l, so each layer's attention addresses the
+    ONE donated pool through an offset block table (`tbl * L + l`) and
+    its append scatters in place.  The previous (L, Hk, P, ps, D) layout
+    forced a per-layer slice -> kernel -> set-back around the Pallas call,
+    which XLA cannot alias away: the compiled decode step accessed
+    20.4 GiB vs the ~8 GiB it needs (r5 cost-analysis,
+    benchmarks/prof_decode_attrib.py).  Folding keeps page-axis sharding
+    semantics intact (all layers of a page colocate in one contiguous
+    chunk, so the sharded allocator's slot-column math is unchanged).
+
+    block_table (B, max_pages) holds UNFOLDED page ids.  Appends the T
+    new tokens of every row at its cache_seqlens position and runs causal
+    paged attention with fused rotary (reference flow:
+    kernel/fused_mha_forward_kvcache.cu phases A-C).  With int8/fp8 pools
+    pass (Hk, P_f, ps, 1) fp32 scale pools: appended tokens quantize on
+    the fly, the kernel dequantizes in-tile."""
     B, T = tokens.shape
+    L = cfg.n_layers
     quantized = k_scales is not None
     cos, sin = rope_tables(cfg, cfg.max_seq_len)
     x = jnp.take(params["embed"], tokens, axis=0)
 
-    def attn_step(q, kp, vp, k, v, *scales):
+    def attn_step(q, kp, vp, k, v, tbl, *scales):
         ksc, vsc = scales if quantized else (None, None)
         return flash_attn_with_kvcache(
             q, kp, vp, k=k, v=v,
             rotary_cos=cos, rotary_sin=sin, cache_seqlens=cache_seqlens,
-            block_table=block_table, causal=True, rotary_interleaved=False,
+            block_table=tbl, causal=True, rotary_interleaved=False,
             window_size=cfg.window_size(),
             k_scales=ksc, v_scales=vsc,
             kv_cache_layout="HND", interpret=interpret)
@@ -87,11 +100,11 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
         from flash_attn_v100_tpu.parallel.sharded import (
             flash_attn_with_kvcache_sharded)
 
-        def attn_step(q, kp, vp, k, v, *scales):
+        def attn_step(q, kp, vp, k, v, tbl, *scales):
             ksc, vsc = scales if quantized else (None, None)
             res = flash_attn_with_kvcache_sharded(
                 q, kp, vp, mesh, cache_seqlens, k=k, v=v,
-                rotary_cos=cos, rotary_sin=sin, block_table=block_table,
+                rotary_cos=cos, rotary_sin=sin, block_table=tbl,
                 k_scales=ksc, v_scales=vsc, causal=True,
                 window_size=cfg.window_size(),
                 rotary_interleaved=False, interpret=interpret)
@@ -110,7 +123,7 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
         cache_specs = (pool, pool) + ((pool, pool) if quantized else ())
         attn_step = shard_map(
             attn_step, mesh=mesh,
-            in_specs=(head, pool, pool, head, head) + (
+            in_specs=(head, pool, pool, head, head, P()) + (
                 (pool, pool) if quantized else ()),
             out_specs=(head, cache_specs),
             check_vma=False)
@@ -118,15 +131,12 @@ def paged_forward(params, k_pool, v_pool, tokens, cache_seqlens, block_table,
     for li, lp in enumerate(params["layers"]):
         h = rmsnorm(x, lp["ln1"], cfg.norm_eps)
         q, k, v = qkv_proj(h, lp, cfg, B, T)
+        tbl_l = block_table * L + li     # folded page ids of this layer
         if quantized:
-            attn, (kc, vc, ksc, vsc) = attn_step(
-                q, k_pool[li], v_pool[li], k, v, k_scales[li], v_scales[li])
-            k_scales = k_scales.at[li].set(ksc)
-            v_scales = v_scales.at[li].set(vsc)
+            attn, (k_pool, v_pool, k_scales, v_scales) = attn_step(
+                q, k_pool, v_pool, k, v, tbl_l, k_scales, v_scales)
         else:
-            attn, (kc, vc) = attn_step(q, k_pool[li], v_pool[li], k, v)
-        k_pool = k_pool.at[li].set(kc)
-        v_pool = v_pool.at[li].set(vc)
+            attn, (k_pool, v_pool) = attn_step(q, k_pool, v_pool, k, v, tbl_l)
         x = x + attn.reshape(B, T, -1) @ lp["wo"]
         h2 = rmsnorm(x, lp["ln2"], cfg.norm_eps)
         x = x + (jax.nn.silu(h2 @ lp["w1"]) * (h2 @ lp["w3"])) @ lp["w2"]
@@ -335,12 +345,16 @@ class ServingEngine:
                                slots_per_shard=self.max_pages_per_seq // sp
                                if sp > 1 else 2**31 - 1)
         # int4 pools pack two TOKENS per byte (quant.py layout): half the
-        # page rows at the full head_dim; scales stay per token
+        # page rows at the full head_dim; scales stay per token.
+        # LAYER-FOLDED page axis (see paged_forward): page p of layer l at
+        # folded id p*L + l — one donated pool buffer for all layers, and
+        # page-axis sharding chunks stay multiples of whole pages.
         pool_rows = page_size // 2 if self.kv_int4 else page_size
         pool_dt = jnp.int8 if self.kv_int4 else kv_dtype
-        pool_shape = (cfg.n_layers, cfg.n_kv_heads, sp * (num_pages + 1),
+        pool_shape = (cfg.n_kv_heads,
+                      sp * (num_pages + 1) * cfg.n_layers,
                       pool_rows, cfg.head_dim)
-        sc_shape = pool_shape[:3] + (page_size, 1)
+        sc_shape = pool_shape[:2] + (page_size, 1)
         self._pool_sharding = None
         if mesh is None:
             self.k_pool = jnp.zeros(pool_shape, pool_dt)
@@ -353,7 +367,7 @@ class ServingEngine:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from flash_attn_v100_tpu.parallel.mesh import MODEL_AXIS, SEQ_AXIS
             page_ax = SEQ_AXIS if sp > 1 else None
-            sh = NamedSharding(mesh, P(None, MODEL_AXIS, page_ax, None, None))
+            sh = NamedSharding(mesh, P(MODEL_AXIS, page_ax, None, None))
             self._pool_sharding = sh
             # SPMD allocation: jit with out_shardings creates the GLOBAL
             # arrays directly (each process materializes only its shards —
@@ -470,14 +484,22 @@ class ServingEngine:
             raise ValueError("decode_fuse must be positive")
         self.decode_fuse = decode_fuse
 
+        n_layers_const = cfg.n_layers
+
         def copy_pages_fn(kp, vp, ks, vs, src, dst):
-            # prefix-cache page copy: pool page axis is 2; padding entries
+            # prefix-cache page copy on the layer-folded page axis (1):
+            # a page id expands to its L folded entries; padding entries
             # are src == dst == 0 (scratch -> itself, a no-op value-wise)
-            kp = kp.at[:, :, dst].set(kp[:, :, src])
-            vp = vp.at[:, :, dst].set(vp[:, :, src])
+            def fold(ids):
+                return (ids[:, None] * n_layers_const
+                        + jnp.arange(n_layers_const, dtype=ids.dtype)
+                        ).reshape(-1)
+            src_f, dst_f = fold(src), fold(dst)
+            kp = kp.at[:, dst_f].set(kp[:, src_f])
+            vp = vp.at[:, dst_f].set(vp[:, src_f])
             if self.quantized:
-                ks = ks.at[:, :, dst].set(ks[:, :, src])
-                vs = vs.at[:, :, dst].set(vs[:, :, src])
+                ks = ks.at[:, dst_f].set(ks[:, src_f])
+                vs = vs.at[:, dst_f].set(vs[:, src_f])
             return kp, vp, ks, vs
 
         dn = self._donate = (1, 2, 3, 4) if self.quantized else (1, 2)

@@ -234,8 +234,9 @@ def test_engine_int8_prefill_routes_varlen(rng):
     tokens = jnp.asarray(rng.integers(1, 60, (B, T)), jnp.int32)
     cs = jnp.zeros((B,), jnp.int32)
     tbl = jnp.asarray([[2, 4, 6, 8, 1, 3, 5, 7]], jnp.int32)
-    mkpool = lambda: (jnp.zeros((L, Hk, P, ps, D), jnp.int8),
-                      jnp.zeros((L, Hk, P, ps, 1), jnp.float32))
+    # layer-folded page axis (engine.paged_forward layout)
+    mkpool = lambda: (jnp.zeros((Hk, P * L, ps, D), jnp.int8),
+                      jnp.zeros((Hk, P * L, ps, 1), jnp.float32))
     (kp, ksc), (vp, vsc) = mkpool(), mkpool()
     logits, *_ = paged_forward(params, kp, vp, tokens, cs, tbl, cfg=cfg,
                                k_scales=ksc, v_scales=vsc)

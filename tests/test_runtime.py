@@ -321,10 +321,11 @@ def _direct_paged_generate(params, cfg, prompt, n_new, num_pages, page_size,
 
     rows = page_size // 2 if is_int4(kv_dtype) else page_size
     dt = jnp.int8 if is_int4(kv_dtype) else kv_dtype
-    pool_shape = (cfg.n_layers, cfg.n_kv_heads, num_pages + 1, rows,
+    # layer-folded page axis (engine.paged_forward layout)
+    pool_shape = (cfg.n_kv_heads, (num_pages + 1) * cfg.n_layers, rows,
                   cfg.head_dim)
     kp, vp = jnp.zeros(pool_shape, dt), jnp.zeros(pool_shape, dt)
-    ks = vs = jnp.ones(pool_shape[:3] + (page_size, 1), jnp.float32)
+    ks = vs = jnp.ones(pool_shape[:2] + (page_size, 1), jnp.float32)
     mp = cfg.max_seq_len // page_size
     bt = jnp.arange(1, mp + 1, dtype=jnp.int32)[None]
 
