@@ -90,6 +90,62 @@ def _int4_rmw_paged(pool, vals, page_ids, off):
     return pool
 
 
+def _int4_append_paged(pool, vals, page_ids, off):
+    """No-gather int4 append for MULTI-token rows (prefill/chunk appends):
+    every interior byte gets BOTH nibbles from new tokens, so consecutive
+    pairs pack into whole bytes scattered directly — no read of the old
+    pool.  Only the two possible boundary tokens per row (a first token on
+    an odd offset, whose byte partner is an OLD token, and a trailing
+    even-offset token with no partner) take the read-modify-write path, on
+    1-token slices.  The full-width RMW's gather against the layer-folded
+    pool measured ~5 GB/s effective — +534 ms on an 8x2048 prefill wave
+    vs int8 (r5 bisect, benchmarks/prof_decode_attrib.py notes); this
+    path removes it.  Single-token (decode) appends keep the tiny RMW."""
+    if vals.shape[1] < 2:
+        return _int4_rmw_paged(pool, vals, page_ids, off)
+    Hk = pool.shape[0]
+    h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, None, :]
+    v32 = vals.astype(jnp.int32)
+    lo_n = (v32 + 8) & 0xF             # token as EVEN (low) nibble, biased
+    hi_n = (v32 & 0xF) << 4            # token as ODD (high) nibble
+    packed = (lo_n[:, :-1] | hi_n[:, 1:]).astype(jnp.int8)   # pair (t, t+1)
+    even = (off % 2) == 0
+    # a pair is a whole new byte iff token t sits on an even offset (its
+    # partner t+1 is then the same byte's high nibble, same page); odd-t
+    # candidates and shard-window-masked (huge) ids drop at the scatter
+    pid_pair = jnp.where(even[:, :-1], page_ids[:, :-1], jnp.int32(2 ** 30))
+    br = (off[:, :-1] // 2)[..., None]
+    pool = pool.at[h_ix, pid_pair[..., None], br].set(packed, mode="drop")
+    # boundary RMWs on 1-token slices
+    pid0 = jnp.where(~even[:, :1], page_ids[:, :1], jnp.int32(2 ** 30))
+    pool = _int4_rmw_paged(pool, vals[:, :1], pid0, off[:, :1])
+    pid_t = jnp.where(even[:, -1:], page_ids[:, -1:], jnp.int32(2 ** 30))
+    pool = _int4_rmw_paged(pool, vals[:, -1:], pid_t, off[:, -1:])
+    return pool
+
+
+def _int4_append_contig(pool, vals, b_ix, rows):
+    """Contiguous-cache analog of _int4_append_paged: pool (Bc, Hk, N/2, D),
+    vals (B, Hk, T, D), rows (B, T) absolute token indices."""
+    if vals.shape[2] < 2:
+        return _int4_rmw_contig(pool, vals, b_ix, rows)
+    Hk = pool.shape[1]
+    h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, :, None]
+    v32 = vals.astype(jnp.int32)
+    lo_n = (v32 + 8) & 0xF
+    hi_n = (v32 & 0xF) << 4
+    packed = (lo_n[:, :, :-1] | hi_n[:, :, 1:]).astype(jnp.int8)
+    even = (rows % 2) == 0
+    br = rows[:, :-1] // 2
+    br_w = jnp.where(even[:, :-1], br, jnp.int32(2 ** 30))
+    pool = pool.at[b_ix, h_ix, br_w[:, None, :]].set(packed, mode="drop")
+    r0 = jnp.where(~even[:, :1], rows[:, :1], jnp.int32(2 ** 30))
+    pool = _int4_rmw_contig(pool, vals[:, :, :1], b_ix, r0)
+    rt = jnp.where(even[:, -1:], rows[:, -1:], jnp.int32(2 ** 30))
+    pool = _int4_rmw_contig(pool, vals[:, :, -1:], b_ix, rt)
+    return pool
+
+
 def _int4_rmw_contig(pool, vals, b_ix, rows):
     """Contiguous-cache analog of _int4_rmw_paged: pool (Bc, Hk, N/2, D),
     vals (B, Hk, T, D) int4 values, rows (B, T) absolute token indices."""
@@ -264,8 +320,8 @@ def flash_attn_with_kvcache(
             h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, None, :]
             if quantized:
                 if int4:
-                    kc = _int4_rmw_paged(kc, k_q, page_ids, off)
-                    vc = _int4_rmw_paged(vc, v_q, page_ids, off)
+                    kc = _int4_append_paged(kc, k_q, page_ids, off)
+                    vc = _int4_append_paged(vc, v_q, page_ids, off)
                 else:
                     kc = kc.at[h_ix, page_ids[..., None], off[..., None]].set(
                         k_q, mode=scatter_mode)
@@ -289,10 +345,10 @@ def flash_attn_with_kvcache(
             h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, :, None]
             if quantized:
                 if int4:
-                    kc = _int4_rmw_contig(kc, jnp.swapaxes(k_q, 1, 2),
-                                          b_ix, rows)
-                    vc = _int4_rmw_contig(vc, jnp.swapaxes(v_q, 1, 2),
-                                          b_ix, rows)
+                    kc = _int4_append_contig(kc, jnp.swapaxes(k_q, 1, 2),
+                                             b_ix, rows)
+                    vc = _int4_append_contig(vc, jnp.swapaxes(v_q, 1, 2),
+                                             b_ix, rows)
                 else:
                     kc = kc.at[b_ix, h_ix, rows[:, None, :]].set(
                         jnp.swapaxes(k_q, 1, 2), mode=scatter_mode)

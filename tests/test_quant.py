@@ -250,3 +250,34 @@ def test_engine_int8_prefill_routes_varlen(rng):
         kvmod.VARLEN_PREFILL_MIN_ROWS = old
     err = max_abs_err(logits, logits_dec)
     assert err <= 0.05, err
+
+
+def test_int4_pair_append_matches_rmw(rng):
+    """The no-gather pair-packed multi-token int4 append (r5:
+    _int4_append_paged/_int4_append_contig) must produce byte-identical
+    pools to the read-modify-write path for every start parity, including
+    the boundary tokens whose byte partner is an old token."""
+    from flash_attn_v100_tpu.ops.kvcache import (
+        _int4_rmw_paged, _int4_append_paged,
+        _int4_rmw_contig, _int4_append_contig)
+    B, T, Hk, D, ps, P = 3, 7, 2, 8, 8, 8
+    pool0 = jnp.asarray(rng.integers(-128, 128, (Hk, P, ps // 2, D)), jnp.int8)
+    vals = jnp.asarray(rng.integers(-8, 8, (B, T, Hk, D)), jnp.int8)
+    # rows start at even, odd, and page-crossing offsets; DISJOINT pages
+    # per row (as the allocator guarantees — shared pages would make
+    # scatter order across rows significant)
+    starts = np.asarray([0, 3, 5])
+    pos = starts[:, None] + np.arange(T)[None]
+    page_ids = jnp.asarray(pos // ps + 2 * np.arange(B)[:, None], jnp.int32)
+    off = jnp.asarray(pos % ps, jnp.int32)
+    a = _int4_rmw_paged(pool0, vals, page_ids, off)
+    b = _int4_append_paged(pool0, vals, page_ids, off)
+    assert jnp.array_equal(a, b)
+
+    poolc0 = jnp.asarray(rng.integers(-128, 128, (B, Hk, 16, D)), jnp.int8)
+    vc = jnp.swapaxes(vals, 1, 2)
+    rows = jnp.asarray(pos, jnp.int32)
+    b_ix = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+    ac = _int4_rmw_contig(poolc0, vc, b_ix, rows)
+    bc = _int4_append_contig(poolc0, vc, b_ix, rows)
+    assert jnp.array_equal(ac, bc)
