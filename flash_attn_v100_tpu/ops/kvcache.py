@@ -75,13 +75,23 @@ def _int4_rmw_paged(pool, vals, page_ids, off):
     round all byte slots are distinct, and the odd round's gather sees the
     even round's writes.  Out-of-range page ids (set huge by the caller for
     shard-window drops) are clamped for the gather and dropped by the
-    scatter."""
+    scatter.
+
+    T == 1 (decode steps) takes a single gather+scatter round: each batch
+    row targets its own sequence's page, so no two writes can share a byte
+    and the even/odd split is unnecessary — this halves the per-layer
+    gather count against the layer-folded pool (the int4 decode-step
+    residue, docs/round5.md §8)."""
     Hk = pool.shape[0]
     h_ix = jnp.arange(Hk, dtype=jnp.int32)[None, None, :]
     br = (off // 2)[..., None]                    # (B, T, 1) byte row
     parity = off % 2                              # (B, T)
     contrib, keep = _int4_nibble_parts(vals, parity[..., None, None])
     pid_g = jnp.clip(page_ids, 0, pool.shape[1] - 1)[..., None]
+    if vals.shape[1] == 1:
+        old = pool[h_ix, pid_g, br]               # (B, 1, Hk, D)
+        new = (old & keep) | contrib
+        return pool.at[h_ix, page_ids[..., None], br].set(new, mode="drop")
     for p in (0, 1):
         old = pool[h_ix, pid_g, br]               # (B, T, Hk, D)
         new = (old & keep) | contrib
@@ -155,6 +165,10 @@ def _int4_rmw_contig(pool, vals, b_ix, rows):
     parity = (rows % 2)[:, None, :, None]         # (B, 1, T, 1)
     contrib, keep = _int4_nibble_parts(vals, parity)
     br_g = jnp.clip(br, 0, pool.shape[2] - 1)[:, None, :]
+    if vals.shape[2] == 1:                        # decode: one round suffices
+        old = pool[b_ix, h_ix, br_g]              # (B, Hk, 1, D)
+        new = (old & keep) | contrib
+        return pool.at[b_ix, h_ix, br[:, None, :]].set(new, mode="drop")
     for p in (0, 1):
         old = pool[b_ix, h_ix, br_g]              # (B, Hk, T, D)
         new = (old & keep) | contrib
